@@ -1,0 +1,89 @@
+"""MiniCache-style SLERP merging of two layers' K/V, in pure jnp.
+
+Numerics mirror the reference (`xKV/customized_cache/fake_layer_merge_dynamic_cache.py:32-100`):
+row-wise spherical interpolation on the unit sphere with
+  * linear-interpolation fallback for near-parallel rows (angle < 1e-7),
+  * a divergence threshold ``d_min + (d_max - d_min) * gamma`` computed over
+    all rows: only *divergent* rows take the merged vector (rescaled by each
+    layer's row norm); non-divergent rows keep their original per-layer
+    values.
+
+Everything is vectorized elementwise math (VPU-friendly); no data-dependent
+control flow, so it jits cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def slerp_merge_rows(
+    x1: jax.Array, x2: jax.Array, t: float = 0.5, gamma: float = 0.05
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Row-wise SLERP of (L, d) matrices.
+
+    Returns (merged, diverge_mask (L,), norm1 (L,1), norm2 (L,1)).
+    Reference: `fake_layer_merge_dynamic_cache.py:32-90`.
+    """
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    norm1 = jnp.linalg.norm(x1, axis=1, keepdims=True)
+    norm2 = jnp.linalg.norm(x2, axis=1, keepdims=True)
+
+    u1 = x1 / norm1
+    u2 = x2 / norm2
+
+    dot_val = jnp.clip(jnp.sum(u1 * u2, axis=1, keepdims=True), -1.0, 1.0)
+    omega = jnp.arccos(dot_val)  # (L, 1)
+    sin_omega = jnp.sin(omega)
+
+    d_min = jnp.min(omega)
+    d_max = jnp.max(omega)
+    threshold = d_min + (d_max - d_min) * gamma
+    diverge_mask = (omega > threshold).squeeze(-1)  # (L,)
+
+    parallel_mask = omega < 1e-7
+    # Guard the division for near-parallel rows (they take the linear branch).
+    safe_sin = jnp.where(parallel_mask, 1.0, sin_omega)
+    alpha = jnp.sin((1.0 - t) * omega) / safe_sin
+    beta = jnp.sin(t * omega) / safe_sin
+
+    e_slerp = alpha * u1 + beta * u2
+    e_linear = (1.0 - t) * x1 + t * x2
+    merged = jnp.where(parallel_mask, e_linear, e_slerp)
+    return merged, diverge_mask, norm1, norm2
+
+
+def minicache_merge(
+    x1: jax.Array, x2: jax.Array, t: float = 0.5, gamma: float = 0.05
+) -> Tuple[jax.Array, jax.Array]:
+    """Fake MiniCache merge of two (L, d) matrices.
+
+    Divergent rows: merged unit vector rescaled by each layer's norm.
+    Non-divergent rows: original per-layer rows (no merge).
+    Reference: `fake_layer_merge_dynamic_cache.py:93-100`.
+    """
+    dtype = x1.dtype
+    merged, diverge, n1, n2 = slerp_merge_rows(x1, x2, t=t, gamma=gamma)
+    mask = diverge[:, None]
+    e1 = jnp.where(mask, merged * n1, x1.astype(jnp.float32))
+    e2 = jnp.where(mask, merged * n2, x2.astype(jnp.float32))
+    return e1.astype(dtype), e2.astype(dtype)
+
+
+def minicache_merge_heads(
+    k1: jax.Array, k2: jax.Array, t: float = 0.5, gamma: float = 0.05
+) -> Tuple[jax.Array, jax.Array]:
+    """MiniCache merge on (b, nh, s, hd) tensors.
+
+    The reference flattens all leading dims into rows of length head_dim
+    (`fake_layer_merge_dynamic_cache.py:186-188`), making the divergence
+    threshold global over (batch, heads, seq). We reproduce that exactly.
+    """
+    shape = k1.shape
+    hd = shape[-1]
+    e1, e2 = minicache_merge(k1.reshape(-1, hd), k2.reshape(-1, hd), t=t, gamma=gamma)
+    return e1.reshape(shape), e2.reshape(shape)

@@ -1,0 +1,188 @@
+"""Attention ops: XLA reference paths and partial-softmax merging.
+
+These are the numerically-authoritative implementations that the Pallas
+kernels (ops/pallas/) are tested against, and the fallbacks used on CPU.
+
+The decode path consumes the *factored* cache: prefill keys live as
+``k_us @ k_vt`` low-rank factors of the stacked pre-RoPE group matrix
+(reference stores the dense reconstruction instead,
+`fake_layer_merge_dynamic_cache.py:202-213` — here the factors are the
+cache). RoPE is applied after reconstruction, preserving the reference's
+pre-RoPE-merge convention (`xKV/attn_patch/llama.py:38-53`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class PartialAttention(NamedTuple):
+    """Result of attention over a subset of keys, mergeable via logsumexp.
+
+    out: (..., q, hd) softmax-weighted values, already normalized within the
+         subset.
+    lse: (..., q) log-sum-exp of the subset's scores.
+    """
+
+    out: jax.Array
+    lse: jax.Array
+
+
+def merge_partials(*parts: PartialAttention) -> jax.Array:
+    """Merge attention computed over disjoint key subsets (flash-decoding
+    style combine): out = sum_i w_i out_i, w_i = exp(lse_i - lse_total)."""
+    lses = jnp.stack([p.lse for p in parts], axis=0)  # (n, ..., q)
+    lse_max = jnp.max(lses, axis=0)
+    weights = jnp.exp(lses - lse_max[None])
+    total = jnp.sum(weights, axis=0)
+    out = sum(
+        p.out * (w / total)[..., None] for p, w in zip(parts, weights)
+    )
+    return out
+
+
+def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
+    """q: (b, hq, ql, hd), k: (b, hkv, s, hd) -> scores (b, hq, ql, s)."""
+    b, hq, ql, hd = q.shape
+    hkv = k.shape[1]
+    qg = q.reshape(b, hkv, hq // hkv, ql, hd)
+    scores = jnp.einsum("bgnqd,bgsd->bgnqs", qg, k, preferred_element_type=jnp.float32)
+    return scores.reshape(b, hq, ql, -1)
+
+
+def _gqa_values(p: jax.Array, v: jax.Array) -> jax.Array:
+    """p: (b, hq, ql, s), v: (b, hkv, s, hd) -> (b, hq, ql, hd)."""
+    b, hq, ql, s = p.shape
+    hkv = v.shape[1]
+    pg = p.reshape(b, hkv, hq // hkv, ql, s)
+    out = jnp.einsum("bgnqs,bgsd->bgnqd", pg, v.astype(p.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, hq, ql, -1)
+
+
+def attention_partial(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    mask: Optional[jax.Array] = None,
+) -> PartialAttention:
+    """Softmax attention over one key subset, returning mergeable partials.
+
+    q: (b, hq, ql, hd); k, v: (b, hkv, s, hd); mask broadcastable to
+    (b, 1|hq, ql, s), True = attend.
+    """
+    scores = _gqa_scores(q, k) * scale  # fp32
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    # Guard fully-masked rows (m == NEG_INF).
+    m_safe = jnp.maximum(m, -1e29)
+    e = jnp.exp(scores - m_safe)
+    if mask is not None:
+        e = jnp.where(mask, e, 0.0)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    out = _gqa_values(e / jnp.maximum(l, 1e-30), v)
+    lse = jnp.squeeze(m_safe, -1) + jnp.log(jnp.maximum(jnp.squeeze(l, -1), 1e-30))
+    return PartialAttention(out=out, lse=lse)
+
+
+def causal_mask(q_len: int, kv_len: int, q_offset: int = 0) -> jax.Array:
+    """(q_len, kv_len) boolean causal mask; query i at absolute position
+    q_offset + i attends to kv positions <= its own."""
+    q_pos = q_offset + jnp.arange(q_len)[:, None]
+    kv_pos = jnp.arange(kv_len)[None, :]
+    return kv_pos <= q_pos
+
+
+def sliding_window_mask(
+    q_len: int, kv_len: int, window: int, q_offset: int = 0
+) -> jax.Array:
+    q_pos = q_offset + jnp.arange(q_len)[:, None]
+    kv_pos = jnp.arange(kv_len)[None, :]
+    return (kv_pos <= q_pos) & (kv_pos > q_pos - window)
+
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    causal: bool = True,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Plain XLA attention (the prefill fallback / test oracle)."""
+    ql, s = q.shape[2], k.shape[2]
+    if window is not None:
+        mask = sliding_window_mask(ql, s, window, q_offset=s - ql)
+    elif causal:
+        mask = causal_mask(ql, s, q_offset=s - ql)
+    else:
+        mask = None
+    if mask is not None:
+        mask = mask[None, None]
+    out = attention_partial(q, k, v, scale, mask).out
+    return out.astype(q.dtype)
+
+
+# ------------------------------------------------------------------ factored
+def reconstruct_group_heads(
+    us: jax.Array, vt_slice: jax.Array, num_heads: int
+) -> jax.Array:
+    """Reconstruct one layer's pre-RoPE K (or V) from group factors.
+
+    us: (b, s, r); vt_slice: (b, r, hkv*hd) — the layer's column block of the
+    group's shared V^T. Returns (b, hkv, s, hd).
+    """
+    b, s, r = us.shape
+    m = vt_slice.shape[-1]
+    mat = jnp.einsum("bsr,brm->bsm", us, vt_slice, preferred_element_type=jnp.float32)
+    hd = m // num_heads
+    return jnp.transpose(mat.reshape(b, s, num_heads, hd), (0, 2, 1, 3))
+
+
+def factored_decode_attention_xla(
+    q: jax.Array,
+    k_us: jax.Array,
+    k_vt_slice: jax.Array,
+    v_us: jax.Array,
+    v_vt_slice: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    scale: float,
+    num_kv_heads: int,
+) -> PartialAttention:
+    """Decode attention over the factored prefill segment (XLA reference).
+
+    q: (b, hq, ql, hd) post-RoPE queries.
+    k_us/v_us: (b, s_p, r); k_vt_slice/v_vt_slice: (b, r, hkv*hd).
+    cos/sin: (s_p, hd) RoPE tables for prefill positions (applied to the
+    reconstructed keys — the merged cache holds pre-RoPE keys).
+    """
+    from xkv_tpu.ops.rope import apply_rope
+
+    k_pre = reconstruct_group_heads(k_us, k_vt_slice, num_kv_heads)  # (b,hkv,s,hd) fp32
+    k = apply_rope(k_pre, cos[None], sin[None])
+    v = reconstruct_group_heads(v_us, v_vt_slice, num_kv_heads)
+    return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale)
+
+
+def dense_decode_attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    valid_len: Optional[jax.Array] = None,
+) -> PartialAttention:
+    """Decode attention over a dense segment (prefill dense layers or the
+    decode tail). ``valid_len`` masks a preallocated ring/tail buffer."""
+    mask = None
+    if valid_len is not None:
+        s = k.shape[2]
+        mask = (jnp.arange(s)[None, :] < valid_len)[:, None, None, :]  # (b,1,1,s)
+    return attention_partial(q, k, v, scale, mask)
