@@ -1,0 +1,218 @@
+"""End-to-end engine correctness tests on a tiny random Llama.
+
+Key invariants tested:
+  1. Uncompressed decode == full-forward oracle (cache/RoPE/decode math).
+  2. Prefill logits are identical across compression modes (the reference
+     uses fresh local K for prefill attention, `xKV/attn_patch/llama.py:50`).
+  3. factored mode == fake mode bit-near (the factored read path computes
+     the same reconstruction the fake path materializes).
+  4. Compression ratio accounting matches the configured ranks.
+  5. SLERP mode runs end-to-end and gamma=1.0 equals no-compression.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xkv_tpu.configs import generate_consecutive_xkv_config
+from xkv_tpu.engine import InferenceEngine
+from xkv_tpu.models.config import tiny_llama_config
+from xkv_tpu.models.llama import init_params, prefill
+
+CFG = tiny_llama_config()  # 4 layers, 4 q heads, 2 kv heads, hd 16
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def prompt():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, CFG.vocab_size, size=(2, 24)).astype(np.int32)
+
+
+def make_engine(params, mode, xkv=None, **kw):
+    kw.setdefault("cache_dtype", jnp.float32)
+    kw.setdefault("factor_dtype", jnp.float32)
+    kw.setdefault("tail_max", 16)
+    kw.setdefault("donate_cache", False)
+    return InferenceEngine(params, CFG, xkv=xkv, mode=mode, **kw)
+
+
+def xkv_cfg(group_size=2, rank_k=24, rank_v=24, **kw):
+    return generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers,
+        end_layer=CFG.num_layers - 1,
+        group_size=group_size,
+        rank_k=rank_k,
+        rank_v=rank_v,
+        extra_kwargs={"svd_method": "exact"},
+        **kw,
+    )
+
+
+def test_uncompressed_decode_matches_full_forward_oracle(params, prompt):
+    """Greedy decode with the dense cache must match re-running the full
+    prompt+generated prefix through the stateless forward."""
+    eng = make_engine(params, "none")
+    out = np.asarray(eng.generate(prompt, max_new_tokens=6))
+
+    seq = np.asarray(prompt)
+    for step in range(6):
+        logits, _ = prefill(params, CFG, jnp.asarray(seq))
+        expect = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
+        np.testing.assert_array_equal(out[:, step], expect)
+        seq = np.concatenate([seq, expect[:, None].astype(np.int32)], axis=1)
+
+
+def test_decode_step_logits_match_oracle(params, prompt):
+    """Positionwise logits parity, not just argmax."""
+    eng = make_engine(params, "none")
+    logits_p, cache = eng.prefill(prompt)
+    tok = jnp.argmax(logits_p[:, -1, :], axis=-1).astype(jnp.int32)
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    logits_d, cache = eng.decode_step(cache, tok[:, None], pos)
+
+    full = np.concatenate([prompt, np.asarray(tok)[:, None]], axis=1)
+    logits_full, _ = prefill(params, CFG, jnp.asarray(full))
+    np.testing.assert_allclose(
+        np.asarray(logits_d[:, -1]), np.asarray(logits_full[:, -1]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_prefill_logits_identical_across_modes(params, prompt):
+    cfg = xkv_cfg()
+    logits_none, _ = make_engine(params, "none").prefill(prompt)
+    logits_fake, _ = make_engine(params, "fake", cfg).prefill(prompt)
+    logits_fact, _ = make_engine(params, "factored", cfg).prefill(prompt)
+    np.testing.assert_array_equal(np.asarray(logits_none), np.asarray(logits_fake))
+    np.testing.assert_array_equal(np.asarray(logits_none), np.asarray(logits_fact))
+
+
+def test_factored_matches_fake(params, prompt):
+    """The real factored cache must reproduce the fake (dense-reconstruction)
+    decode numerically: same factors, read lazily vs materialized."""
+    cfg = xkv_cfg(group_size=2, rank_k=16, rank_v=20)
+    eng_fake = make_engine(params, "fake", cfg)
+    eng_fact = make_engine(params, "factored", cfg)
+
+    logits_f, cache_f = eng_fake.prefill(prompt)
+    logits_r, cache_r = eng_fact.prefill(prompt)
+    tok = jnp.argmax(logits_f[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+
+    for _ in range(4):
+        lf, cache_f = eng_fake.decode_step(cache_f, tok, pos)
+        lr, cache_r = eng_fact.decode_step(cache_r, tok, pos)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=2e-3, atol=2e-3
+        )
+        tok = jnp.argmax(lf[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        pos = pos + 1
+
+
+def test_single_svd_group_size_1(params, prompt):
+    """Per-layer single SVD (reference comparison config, README.md:91-95)."""
+    cfg = xkv_cfg(group_size=1, rank_k=8, rank_v=12)
+    eng = make_engine(params, "factored", cfg)
+    out = eng.generate(prompt, max_new_tokens=4)
+    assert np.asarray(out).shape == (2, 4)
+
+
+def test_merge_key_only(params, prompt):
+    cfg = xkv_cfg(merge_value=False)
+    eng = make_engine(params, "factored", cfg)
+    _, cache = eng.prefill(prompt)
+    assert cache.groups[0].k_us is not None
+    assert cache.groups[0].v_us is None
+    assert set(cache.dense_v.keys()) == set(range(CFG.num_layers))
+    out = eng.generate(prompt, max_new_tokens=3)
+    assert np.asarray(out).shape == (2, 3)
+
+
+def test_partial_layer_coverage(params, prompt):
+    """Groups covering only layers 1..2; others stay dense."""
+    from xkv_tpu.configs import LayerGroup, XKVConfig
+
+    cfg = XKVConfig(
+        num_layers=CFG.num_layers,
+        rank_k=16,
+        rank_v=16,
+        layer_groups=[LayerGroup(layers=[1, 2])],
+        extra_kwargs={"svd_method": "exact"},
+    )
+    eng = make_engine(params, "factored", cfg)
+    _, cache = eng.prefill(prompt)
+    assert set(cache.dense_k.keys()) == {0, 3}
+    out = eng.generate(prompt, max_new_tokens=3)
+    assert np.asarray(out).shape == (2, 3)
+
+
+def test_compression_ratio_accounting(params, prompt):
+    s = prompt.shape[1]
+    rank = 4
+    cfg = xkv_cfg(group_size=2, rank_k=rank, rank_v=rank)
+    _, cache = make_engine(params, "factored", cfg).prefill(prompt)
+    b = prompt.shape[0]
+    g_cols = 2 * CFG.num_kv_heads * CFG.head_dim
+    per_group = 2 * (b * s * rank + b * rank * g_cols)  # K and V factors
+    expected_elems = per_group * (CFG.num_layers // 2)
+    assert cache.num_cache_elements() == expected_elems
+    dense = 2 * CFG.num_layers * b * CFG.num_kv_heads * s * CFG.head_dim
+    assert abs(cache.compression_ratio(CFG) - dense / expected_elems) < 1e-6
+
+
+def test_slerp_gamma_one_equals_uncompressed(params, prompt):
+    """gamma=1.0 -> no rows divergent -> merge is identity -> decode equals
+    the uncompressed baseline."""
+    cfg = generate_consecutive_xkv_config(
+        layer_merge_impl="slerp",
+        num_layers=CFG.num_layers,
+        end_layer=CFG.num_layers - 1,
+        group_size=2,
+        slerp_t=0.5,
+        slerp_gamma=1.0,
+    )
+    eng_slerp = make_engine(params, "fake", cfg)
+    eng_none = make_engine(params, "none")
+    out_s = np.asarray(eng_slerp.generate(prompt, max_new_tokens=5))
+    out_n = np.asarray(eng_none.generate(prompt, max_new_tokens=5))
+    np.testing.assert_array_equal(out_s, out_n)
+
+
+def test_slerp_real_gamma_runs(params, prompt):
+    cfg = generate_consecutive_xkv_config(
+        layer_merge_impl="slerp",
+        num_layers=CFG.num_layers,
+        start_layer=2,
+        end_layer=3,
+        group_size=2,
+        slerp_t=0.5,
+        slerp_gamma=0.05,
+    )
+    eng = make_engine(params, "fake", cfg)
+    out = eng.generate(prompt, max_new_tokens=4)
+    assert np.asarray(out).shape == (2, 4)
+
+
+def test_score_teacher_forcing_matches_oracle(params, prompt):
+    """RNN-mode scoring equals full-forward log-softmax."""
+    eng = make_engine(params, "none")
+    _, cache = eng.prefill(prompt[:, :8])
+    cont = prompt[:, 8:16]
+    logprobs, _ = eng.score(cache, cont, jnp.asarray(8, jnp.int32))
+
+    logits_full, _ = prefill(params, CFG, jnp.asarray(prompt[:, :16]))
+    ref = jax.nn.log_softmax(logits_full[:, 8 - 1 + 1 :, :], axis=-1)
+    # score() feeds cont[:, i] at pos 8+i and returns logprobs for the next
+    # token; oracle position for cont[:, i] is logits at index 8+i.
+    np.testing.assert_allclose(
+        np.asarray(logprobs),
+        np.asarray(jax.nn.log_softmax(logits_full[:, 8:16, :], axis=-1)),
+        rtol=2e-4,
+        atol=2e-4,
+    )

@@ -1,0 +1,144 @@
+"""Compressed KV cache structures — the real thing the reference only fakes.
+
+The reference's ``FakeLayerMergingCache`` reconstructs full-size lossy K/V
+and stores them densely (`fake_layer_merge_dynamic_cache.py:202-213`), so no
+memory is saved. Here the cache holds, per layer group, the low-rank factors
+of the stacked pre-RoPE K (and V) matrices:
+
+    group matrix  M_K = [K_l0 | K_l1 | ... ]  shape (b, s_p, g*hkv*hd)
+    factors       k_us (b, s_p, rk),  k_vt (b, rk, g*hkv*hd)
+
+plus dense segments for everything the factors don't cover:
+  * ungrouped layers' prefill K/V (post-RoPE K, as the reference stores),
+  * grouped layers when merge_key/merge_value is off,
+  * SLERP-merged layers (the MiniCache scheme is inherently full-size),
+  * a preallocated decode *tail* holding tokens appended after prefill
+    (new tokens can't cheaply join a frozen factorization; the hybrid
+    factors+tail design realizes the windowed-compression intent of the
+    reference fork's `src/patch_model.py:62-120`).
+
+Memory accounting helpers quantify the achieved compression ratio.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from xkv_tpu.configs import XKVConfig
+from xkv_tpu.models.config import ModelConfig
+
+
+@struct.dataclass
+class GroupFactors:
+    """Low-rank factors for one layer group. Fields are None when the
+    corresponding side (K or V) is not merged."""
+
+    k_us: Optional[jax.Array] = None  # (b, s_p, rk)
+    k_vt: Optional[jax.Array] = None  # (b, rk, g*hkv*hd)
+    v_us: Optional[jax.Array] = None  # (b, s_p, rv)
+    v_vt: Optional[jax.Array] = None  # (b, rv, g*hkv*hd)
+
+
+@struct.dataclass
+class XKVCache:
+    """Hybrid factored + dense KV cache for one sequence batch.
+
+    groups:  tuple of GroupFactors, ordered as ``XKVConfig.layer_groups``.
+    dense_k: {layer_idx: (b, hkv, s_p, hd)} post-RoPE prefill keys for layers
+             whose K is not factored.
+    dense_v: {layer_idx: (b, hkv, s_p, hd)} prefill values for layers whose V
+             is not factored.
+    tail_k/tail_v: (L, b, hkv, t_max, hd) decode-time appended K (post-RoPE)
+             and V for every layer.
+    tail_len: () int32 — number of valid tail positions.
+    """
+
+    groups: Tuple[GroupFactors, ...]
+    dense_k: Dict[int, jax.Array]
+    dense_v: Dict[int, jax.Array]
+    tail_k: jax.Array
+    tail_v: jax.Array
+    tail_len: jax.Array
+
+    @property
+    def prefill_len(self) -> int:
+        if self.dense_k:
+            return next(iter(self.dense_k.values())).shape[2]
+        for g in self.groups:
+            for f in (g.k_us, g.v_us):
+                if f is not None:
+                    return f.shape[1]
+        raise ValueError("empty cache")
+
+    @property
+    def tail_max(self) -> int:
+        return self.tail_k.shape[3]
+
+    def append_tail(self, layer_idx: int, k: jax.Array, v: jax.Array) -> "XKVCache":
+        """Write one decode step's K/V (b, hkv, ql, hd) at the current tail
+        position for ``layer_idx``. ``tail_len`` is advanced separately once
+        per step (see ``advance``)."""
+        pos = self.tail_len
+        tail_k = jax.lax.dynamic_update_slice(
+            self.tail_k, k[None].astype(self.tail_k.dtype), (layer_idx, 0, 0, pos, 0)
+        )
+        tail_v = jax.lax.dynamic_update_slice(
+            self.tail_v, v[None].astype(self.tail_v.dtype), (layer_idx, 0, 0, pos, 0)
+        )
+        return self.replace(tail_k=tail_k, tail_v=tail_v)
+
+    def advance(self, n: int = 1) -> "XKVCache":
+        return self.replace(tail_len=self.tail_len + n)
+
+    # ------------------------------------------------------------- memory
+    def num_cache_elements(self) -> int:
+        """Total array elements held for prefill KV (factors + dense),
+        excluding the tail (which exists in both compressed and baseline)."""
+        total = 0
+        for g in self.groups:
+            for f in (g.k_us, g.k_vt, g.v_us, g.v_vt):
+                if f is not None:
+                    total += f.size
+        for d in (self.dense_k, self.dense_v):
+            for arr in d.values():
+                total += arr.size
+        return total
+
+    def compression_ratio(self, cfg: ModelConfig) -> float:
+        """Dense-equivalent prefill KV elements / stored elements."""
+        b = self.tail_k.shape[1]
+        s_p = self.prefill_len
+        dense = 2 * cfg.num_layers * b * cfg.num_kv_heads * s_p * cfg.head_dim
+        return dense / max(self.num_cache_elements(), 1)
+
+
+def init_tail(
+    cfg: ModelConfig, batch: int, t_max: int, dtype=jnp.bfloat16
+) -> Tuple[jax.Array, jax.Array]:
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, t_max, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def layer_group_index(xkv: XKVConfig) -> Dict[int, Tuple[int, int]]:
+    """{layer_idx: (group_ordinal, position_within_group)} for grouped layers."""
+    out: Dict[int, Tuple[int, int]] = {}
+    for gi, grp in enumerate(xkv.layer_groups):
+        for pos, lyr in enumerate(grp.layers):
+            out[lyr] = (gi, pos)
+    return out
+
+
+def vt_layer_slice(vt: jax.Array, pos: int, num_kv_heads: int, head_dim: int) -> jax.Array:
+    """Static column slice of a group's shared V^T for the layer at position
+    ``pos`` in the group: columns [pos*hkv*hd, (pos+1)*hkv*hd).
+
+    The reference splits the reconstructed tensor per layer along the head
+    dim (`fake_layer_merge_dynamic_cache.py:181-182`); in factored form that
+    split is a column slice of V^T.
+    """
+    width = num_kv_heads * head_dim
+    return jax.lax.slice_in_dim(vt, pos * width, (pos + 1) * width, axis=2)

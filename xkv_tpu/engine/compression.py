@@ -1,0 +1,195 @@
+"""Build the compressed XKVCache from prefill K/V — the merge step.
+
+Equivalent of the reference's ``grouped_layer_merging``
+(`fake_layer_merge_dynamic_cache.py:155-208`) but producing *factors*
+instead of a dense reconstruction (svd scheme), and supporting the same
+three schemes:
+
+  * svd with layer_group_size >= 2  — grouped xKV (cross-layer SVD)
+  * svd with layer_group_size == 1  — per-layer single SVD
+  * slerp (group size 2)            — MiniCache merge (dense output)
+
+A ``fake=True`` mode reproduces the reference exactly: factors are
+immediately multiplied back and stored densely. Used for parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xkv_tpu.cache import GroupFactors, XKVCache, init_tail
+from xkv_tpu.compress.slerp import minicache_merge_heads
+from xkv_tpu.compress.svd import (
+    factorize,
+    heads_to_matrix,
+    matrix_to_heads,
+    reconstruct,
+)
+from xkv_tpu.configs import XKVConfig
+from xkv_tpu.models.config import ModelConfig
+from xkv_tpu.ops.rope import apply_rope
+
+
+def _stack_group_matrix(kvs: List[jax.Array]) -> jax.Array:
+    """[(b, hkv, s, hd)] per layer -> (b, s, g*hkv*hd).
+
+    Column order = (layer, head, dim), matching the reference's concat of
+    layers along the head axis before flattening
+    (`fake_layer_merge_dynamic_cache.py:170-171` + `:14`).
+    """
+    return heads_to_matrix(jnp.concatenate(kvs, axis=1))
+
+
+def _split_group_matrix(mat: jax.Array, g: int, hkv: int) -> List[jax.Array]:
+    """(b, s, g*hkv*hd) -> g tensors (b, hkv, s, hd)."""
+    stacked = matrix_to_heads(mat, g * hkv)  # (b, g*hkv, s, hd)
+    return [
+        jax.lax.slice_in_dim(stacked, i * hkv, (i + 1) * hkv, axis=1) for i in range(g)
+    ]
+
+
+def build_cache(
+    kvs: List[Tuple[jax.Array, jax.Array]],
+    xkv: XKVConfig,
+    cfg: ModelConfig,
+    cos_p: jax.Array,
+    sin_p: jax.Array,
+    tail_max: int,
+    fake: bool = False,
+    factor_dtype=jnp.bfloat16,
+    cache_dtype=jnp.bfloat16,
+) -> XKVCache:
+    """Compress prefill K/V into the hybrid cache.
+
+    kvs: per layer (k_pre_rope, v), each (b, hkv, s, hd).
+    cos_p/sin_p: (s, hd) RoPE tables for prefill positions; applied to the
+    keys of dense-stored layers (the factored groups stay pre-RoPE and get
+    rotated at read time).
+    fake: store dense reconstructions instead of factors (reference parity
+    mode — `fake_layer_merge_dynamic_cache.py:202-213`).
+    """
+    svd_kw = dict(
+        method=xkv.svd_method,
+        oversample=xkv.svd_oversample,
+        n_iter=xkv.svd_iters,
+        seed=xkv.svd_seed,
+    )
+    hkv = cfg.num_kv_heads
+    batch = kvs[0][0].shape[0]
+
+    groups: List[GroupFactors] = []
+    dense_k: Dict[int, jax.Array] = {}
+    dense_v: Dict[int, jax.Array] = {}
+    covered = set()
+
+    def rope_dense_k(k_pre):
+        return apply_rope(k_pre, cos_p[None], sin_p[None]).astype(cache_dtype)
+
+    for grp in xkv.layer_groups:
+        layers = grp.layers
+        covered.update(layers)
+        ks = [kvs[l][0] for l in layers]
+        vs = [kvs[l][1] for l in layers]
+
+        if xkv.layer_merge_impl == "svd":
+            gf_kwargs = {}
+            if xkv.merge_key:
+                k_mat = _stack_group_matrix(ks)  # (b, s, g*hkv*hd) — fp32 in factorize
+                fac_k = factorize(k_mat, grp.rank_k, **svd_kw)
+                if fake:
+                    k_rec = _split_group_matrix(
+                        reconstruct(fac_k).astype(k_mat.dtype), len(layers), hkv
+                    )
+                    for l, kr in zip(layers, k_rec):
+                        dense_k[l] = rope_dense_k(kr)
+                else:
+                    gf_kwargs["k_us"] = fac_k.us.astype(factor_dtype)
+                    gf_kwargs["k_vt"] = fac_k.vt.astype(factor_dtype)
+            else:
+                for l, k in zip(layers, ks):
+                    dense_k[l] = rope_dense_k(k)
+            if xkv.merge_value:
+                v_mat = _stack_group_matrix(vs)
+                fac_v = factorize(v_mat, grp.rank_v, **svd_kw)
+                if fake:
+                    v_rec = _split_group_matrix(
+                        reconstruct(fac_v).astype(v_mat.dtype), len(layers), hkv
+                    )
+                    for l, vr in zip(layers, v_rec):
+                        dense_v[l] = vr.astype(cache_dtype)
+                else:
+                    gf_kwargs["v_us"] = fac_v.us.astype(factor_dtype)
+                    gf_kwargs["v_vt"] = fac_v.vt.astype(factor_dtype)
+            else:
+                for l, v in zip(layers, vs):
+                    dense_v[l] = v.astype(cache_dtype)
+            groups.append(GroupFactors(**gf_kwargs))
+
+        elif xkv.layer_merge_impl == "slerp":
+            # MiniCache is inherently full-size (divergent-token fallback
+            # keeps per-layer rows); store dense merged tensors.
+            if xkv.merge_key:
+                k1, k2 = minicache_merge_heads(
+                    ks[0], ks[1], t=grp.slerp_t, gamma=grp.slerp_gamma
+                )
+                dense_k[layers[0]] = rope_dense_k(k1)
+                dense_k[layers[1]] = rope_dense_k(k2)
+            else:
+                for l, k in zip(layers, ks):
+                    dense_k[l] = rope_dense_k(k)
+            if xkv.merge_value:
+                v1, v2 = minicache_merge_heads(
+                    vs[0], vs[1], t=grp.slerp_t, gamma=grp.slerp_gamma
+                )
+                dense_v[layers[0]] = v1.astype(cache_dtype)
+                dense_v[layers[1]] = v2.astype(cache_dtype)
+            else:
+                for l, v in zip(layers, vs):
+                    dense_v[l] = v.astype(cache_dtype)
+            groups.append(GroupFactors())
+
+    # Ungrouped layers: plain dense cache, post-RoPE K (reference
+    # `fake_layer_merge_dynamic_cache.py:149-152`).
+    for l in range(len(kvs)):
+        if l not in covered:
+            dense_k[l] = rope_dense_k(kvs[l][0])
+            dense_v[l] = kvs[l][1].astype(cache_dtype)
+
+    tail_k, tail_v = init_tail(cfg, batch, tail_max, cache_dtype)
+    return XKVCache(
+        groups=tuple(groups),
+        dense_k=dense_k,
+        dense_v=dense_v,
+        tail_k=tail_k,
+        tail_v=tail_v,
+        tail_len=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_uncompressed_cache(
+    kvs: List[Tuple[jax.Array, jax.Array]],
+    cfg: ModelConfig,
+    cos_p: jax.Array,
+    sin_p: jax.Array,
+    tail_max: int,
+    cache_dtype=jnp.bfloat16,
+) -> XKVCache:
+    """Baseline: dense post-RoPE cache for every layer (no compression)."""
+    dense_k = {
+        l: apply_rope(k, cos_p[None], sin_p[None]).astype(cache_dtype)
+        for l, (k, _) in enumerate(kvs)
+    }
+    dense_v = {l: v.astype(cache_dtype) for l, (_, v) in enumerate(kvs)}
+    batch = kvs[0][0].shape[0]
+    tail_k, tail_v = init_tail(cfg, batch, tail_max, cache_dtype)
+    return XKVCache(
+        groups=(),
+        dense_k=dense_k,
+        dense_v=dense_v,
+        tail_k=tail_k,
+        tail_v=tail_v,
+        tail_len=jnp.zeros((), jnp.int32),
+    )

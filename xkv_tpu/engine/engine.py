@@ -1,0 +1,182 @@
+"""Single-sequence/batch inference engine: jitted prefill + compress + decode.
+
+Drives the xKV pipeline end-to-end (reference call stack §3.2 of SURVEY.md,
+`xKV/attn_patch/llama.py:19-73` + `fake_layer_merge_dynamic_cache.py:127-208`):
+
+  prefill(tokens)  -> clean causal forward, stash pre-RoPE K / V per layer,
+                      compress groups into low-rank factors, build cache
+  decode           -> lax.scan'd greedy loop reading the factored cache
+
+Modes:
+  * "factored"     — the real system: cache holds factors (+ dense tail).
+  * "fake"         — reference-parity: dense lossy reconstruction stored.
+  * "none"         — uncompressed baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xkv_tpu.cache import XKVCache
+from xkv_tpu.configs import XKVConfig
+from xkv_tpu.engine.compression import build_cache, build_uncompressed_cache
+from xkv_tpu.models import llama
+from xkv_tpu.models.config import ModelConfig
+from xkv_tpu.ops.rope import rope_cos_sin
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        xkv: Optional[XKVConfig] = None,
+        mode: str = "factored",
+        tail_max: int = 128,
+        attention_impl: str = "xla",
+        donate_cache: bool = True,
+        cache_dtype=jnp.bfloat16,
+        factor_dtype=jnp.bfloat16,
+    ):
+        if mode not in ("factored", "fake", "none"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode != "none" and xkv is None:
+            raise ValueError("xkv config required unless mode='none'")
+        self.params = params
+        self.cfg = cfg
+        self.xkv = xkv
+        self.mode = mode
+        self.tail_max = tail_max
+        self.attention_impl = attention_impl
+        self.cache_dtype = cache_dtype
+        self.factor_dtype = factor_dtype
+
+        self._prefill_fn = jax.jit(self._prefill_impl)
+        donate = (0,) if donate_cache else ()
+        self._decode_fn = jax.jit(self._decode_impl, donate_argnums=donate)
+        self._generate_fn = jax.jit(
+            self._generate_impl, static_argnames=("n_steps",), donate_argnums=donate
+        )
+        self._score_fn = jax.jit(self._score_impl, donate_argnums=donate)
+
+    # ------------------------------------------------------------ internals
+    def _prefill_cos_sin(self, s: int) -> Tuple[jax.Array, jax.Array]:
+        return rope_cos_sin(
+            jnp.arange(s), self.cfg.head_dim, self.cfg.rope_theta, self.cfg.rope_scaling
+        )
+
+    def _prefill_impl(self, params, tokens):
+        logits, kvs = llama.prefill(
+            params, self.cfg, tokens, attention_impl=self.attention_impl
+        )
+        cos_p, sin_p = self._prefill_cos_sin(tokens.shape[1])
+        if self.mode == "none":
+            cache = build_uncompressed_cache(
+                kvs, self.cfg, cos_p, sin_p, self.tail_max,
+                cache_dtype=self.cache_dtype,
+            )
+        else:
+            cache = build_cache(
+                kvs,
+                self.xkv,
+                self.cfg,
+                cos_p,
+                sin_p,
+                self.tail_max,
+                fake=(self.mode == "fake"),
+                factor_dtype=self.factor_dtype,
+                cache_dtype=self.cache_dtype,
+            )
+        return logits, cache
+
+    def _decode_impl(self, cache, params, tokens, pos):
+        cos_sin = self._prefill_cos_sin(cache.prefill_len)
+        return llama.decode_step(
+            params, self.cfg, self.xkv, cache, tokens, pos, cos_sin
+        )
+
+    def _generate_impl(self, cache, params, first_token, start_pos, n_steps: int):
+        cos_sin = self._prefill_cos_sin(cache.prefill_len)
+
+        def body(carry, _):
+            cache, token, pos = carry
+            logits, cache = llama.decode_step(
+                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin
+            )
+            next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (cache, next_tok, pos + 1), next_tok
+
+        (cache, _, _), toks = jax.lax.scan(
+            body, (cache, first_token, start_pos), None, length=n_steps
+        )
+        return jnp.transpose(toks, (1, 0)), cache  # (b, n_steps)
+
+    def _score_impl(self, cache, params, tokens, start_pos):
+        """Teacher-forced scoring: feed tokens[:, i] one at a time, return
+        log-prob of each tokens[:, i+1] (perplexity RNN mode, reference
+        `eval_perplexity_rnn.py:90-125`)."""
+        cos_sin = self._prefill_cos_sin(cache.prefill_len)
+
+        def body(carry, token):
+            cache, pos = carry
+            logits, cache = llama.decode_step(
+                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin
+            )
+            logprobs = jax.nn.log_softmax(logits[:, -1, :], axis=-1)
+            return (cache, pos + 1), logprobs
+
+        tokens_t = jnp.transpose(tokens, (1, 0))  # (steps, b)
+        (cache, _), logprobs = jax.lax.scan(body, (cache, start_pos), tokens_t)
+        return jnp.transpose(logprobs, (1, 0, 2)), cache  # (b, steps, vocab)
+
+    # ------------------------------------------------------------ public API
+    def prefill(self, tokens) -> Tuple[jax.Array, XKVCache]:
+        """tokens: (b, s) -> (logits (b, s, V) fp32, cache)."""
+        return self._prefill_fn(self.params, jnp.asarray(tokens, jnp.int32))
+
+    def decode_step(self, cache, tokens, pos):
+        return self._decode_fn(cache, self.params, jnp.asarray(tokens, jnp.int32), pos)
+
+    def generate(
+        self,
+        tokens,
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+    ) -> jax.Array:
+        """Greedy generation (the reference evaluates with do_sample=False,
+        `evaluate/evaluator.py:63`). Returns (b, <=max_new_tokens) including
+        nothing past the first EOS (host-side truncation)."""
+        tokens = jnp.asarray(tokens, jnp.int32)
+        if max_new_tokens > self.tail_max:
+            raise ValueError(
+                f"max_new_tokens={max_new_tokens} exceeds tail_max={self.tail_max}"
+            )
+        logits, cache = self.prefill(tokens)
+        first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        start_pos = jnp.asarray(tokens.shape[1], jnp.int32)
+        if max_new_tokens == 1:
+            return first[:, None]
+        rest, _ = self._generate_fn(
+            cache, self.params, first, start_pos, n_steps=max_new_tokens - 1
+        )
+        out = jnp.concatenate([first[:, None], rest], axis=1)
+        if eos_token_id is not None:
+            out_np = jax.device_get(out)
+            import numpy as np
+
+            trimmed = []
+            for row in out_np:
+                hits = np.where(row == eos_token_id)[0]
+                trimmed.append(row[: hits[0] + 1] if len(hits) else row)
+            return trimmed
+        return out
+
+    def score(self, cache, tokens, start_pos):
+        """Teacher-forced next-token log-probs; see `_score_impl`."""
+        return self._score_fn(
+            cache, self.params, jnp.asarray(tokens, jnp.int32), start_pos
+        )

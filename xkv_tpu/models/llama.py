@@ -1,0 +1,270 @@
+"""Pure-JAX Llama-family decoder (covers Llama 2/3, Mistral, Qwen2).
+
+Functional-style: parameters are a nested dict pytree; forward functions are
+pure and jit/pjit-friendly. This replaces the reference's approach of
+monkey-patching HF PyTorch modules (`xKV/attn_patch/llama.py:77-88`) with a
+native model whose attention reads the compressed cache directly.
+
+xKV numerical contract implemented here (reference `xKV/attn_patch/llama.py:19-73`):
+  * Prefill attention uses the *fresh*, locally-RoPE'd K — compression never
+    affects prefill outputs.
+  * The cache stores pre-RoPE keys for merged groups (RoPE applied after
+    reconstruction at decode) and post-RoPE keys for dense layers.
+  * Decode attention reads the merged (factored) cache + the dense tail.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xkv_tpu.cache import XKVCache, layer_group_index, vt_layer_slice
+from xkv_tpu.configs import XKVConfig
+from xkv_tpu.models.config import ModelConfig
+from xkv_tpu.ops.attention import (
+    PartialAttention,
+    dense_decode_attention_xla,
+    factored_decode_attention_xla,
+    merge_partials,
+    mha_reference,
+)
+from xkv_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, Any]
+
+
+# ----------------------------------------------------------------- init/load
+def init_params(
+    cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16, scale: float = 0.02
+) -> Params:
+    """Random-init parameters (tests / synthetic benchmarks)."""
+    keys = iter(jax.random.split(key, 8 * cfg.num_layers + 8))
+
+    def dense(shape):
+        return (scale * jax.random.normal(next(keys), shape, jnp.float32)).astype(dtype)
+
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, hd = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    layers = []
+    for _ in range(cfg.num_layers):
+        layer = {
+            "attn": {
+                "wq": dense((d, hq * hd)),
+                "wk": dense((d, hkv * hd)),
+                "wv": dense((d, hkv * hd)),
+                "wo": dense((hq * hd, d)),
+            },
+            "mlp": {
+                "w_gate": dense((d, f)),
+                "w_up": dense((d, f)),
+                "w_down": dense((f, d)),
+            },
+            "input_norm": jnp.ones((d,), dtype),
+            "post_norm": jnp.ones((d,), dtype),
+        }
+        if cfg.attention_bias:
+            layer["attn"]["bq"] = jnp.zeros((hq * hd,), dtype)
+            layer["attn"]["bk"] = jnp.zeros((hkv * hd,), dtype)
+            layer["attn"]["bv"] = jnp.zeros((hkv * hd,), dtype)
+        layers.append(layer)
+    params: Params = {
+        "embed": dense((cfg.vocab_size, d)),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense((d, cfg.vocab_size))
+    return params
+
+
+# ----------------------------------------------------------------- building blocks
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def mlp(p: Params, x: jax.Array) -> jax.Array:
+    gate = jax.nn.silu(x @ p["w_gate"])
+    return (gate * (x @ p["w_up"])) @ p["w_down"]
+
+
+def qkv_proj(
+    p: Params, cfg: ModelConfig, x: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """x: (b, s, d) -> q (b, hq, s, hd), k/v (b, hkv, s, hd)."""
+    b, s, _ = x.shape
+    q = x @ p["wq"]
+    k = x @ p["wk"]
+    v = x @ p["wv"]
+    if "bq" in p:
+        q = q + p["bq"]
+        k = k + p["bk"]
+        v = v + p["bv"]
+    q = jnp.transpose(q.reshape(b, s, cfg.num_q_heads, cfg.head_dim), (0, 2, 1, 3))
+    k = jnp.transpose(k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim), (0, 2, 1, 3))
+    v = jnp.transpose(v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim), (0, 2, 1, 3))
+    return q, k, v
+
+
+def unembed(params: Params, cfg: ModelConfig, h: jax.Array) -> jax.Array:
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return (h @ w).astype(jnp.float32)
+
+
+# ----------------------------------------------------------------- prefill
+def prefill(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jax.Array,
+    attention_impl: str = "xla",
+) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+    """Full causal forward over a prompt.
+
+    tokens: (b, s) int32. Returns (logits (b, s, vocab) fp32,
+    [(k_pre_rope, v)] per layer, each (b, hkv, s, hd)).
+
+    Attention uses the locally-RoPE'd fresh K (reference
+    `xKV/attn_patch/llama.py:50`), so prefill is identical with or without
+    compression; the pre-RoPE K is what gets cached/merged.
+    """
+    b, s = tokens.shape
+    positions = jnp.arange(s)[None, :]
+    cos, sin = rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
+    )
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+
+    h = params["embed"][tokens]
+    kvs: List[Tuple[jax.Array, jax.Array]] = []
+    for layer in params["layers"]:
+        resid = h
+        x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
+        q, k_pre, v = qkv_proj(layer["attn"], cfg, x)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k_pre, cos, sin)
+        kvs.append((k_pre, v))
+        if attention_impl == "pallas":
+            from xkv_tpu.ops.pallas.flash_attention import flash_attention_fwd
+
+            attn = flash_attention_fwd(
+                q, k, v, scale=scale, causal=True, window=cfg.sliding_window
+            )
+        else:
+            attn = mha_reference(q, k, v, scale, causal=True, window=cfg.sliding_window)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
+        h = resid + attn @ layer["attn"]["wo"]
+        h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
+    logits = unembed(params, cfg, h)
+    return logits, kvs
+
+
+# ----------------------------------------------------------------- decode
+def decode_step(
+    params: Params,
+    cfg: ModelConfig,
+    xkv: Optional[XKVConfig],
+    cache: XKVCache,
+    tokens: jax.Array,
+    pos: jax.Array,
+    prefill_cos_sin: Tuple[jax.Array, jax.Array],
+) -> Tuple[jax.Array, XKVCache]:
+    """One decode step with the hybrid factored cache.
+
+    tokens: (b, ql) next token(s); pos: () int32 absolute position of
+    tokens[:, 0]. prefill_cos_sin: RoPE tables (s_p, hd) for prefill
+    positions (used to rotate reconstructed factored keys).
+
+    Reference decode semantics: `xKV/attn_patch/llama.py:52-53` — RoPE'd new
+    K appended, attention over the merged cache + appended tokens.
+    """
+    b, ql = tokens.shape
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    positions = pos + jnp.arange(ql)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos_p, sin_p = prefill_cos_sin
+
+    grp_index = layer_group_index(xkv) if xkv is not None else {}
+
+    h = params["embed"][tokens]
+    for li, layer in enumerate(params["layers"]):
+        resid = h
+        x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
+        q, k_new_pre, v_new = qkv_proj(layer["attn"], cfg, x)
+        q = apply_rope(q, cos, sin)
+        k_new = apply_rope(k_new_pre, cos, sin)
+
+        cache = cache.append_tail(li, k_new, v_new)
+
+        parts: List[PartialAttention] = []
+        # --- prefill segment
+        grp_info = grp_index.get(li)
+        use_factored_k = False
+        use_factored_v = False
+        if grp_info is not None:
+            gi, gpos = grp_info
+            gf = cache.groups[gi]
+            use_factored_k = gf.k_us is not None
+            use_factored_v = gf.v_us is not None
+        if use_factored_k and use_factored_v:
+            parts.append(
+                factored_decode_attention_xla(
+                    q,
+                    gf.k_us,
+                    vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                    gf.v_us,
+                    vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                    cos_p,
+                    sin_p,
+                    scale,
+                    cfg.num_kv_heads,
+                )
+            )
+        else:
+            # Mixed or fully-dense prefill segment.
+            if use_factored_k:
+                from xkv_tpu.ops.attention import reconstruct_group_heads
+
+                k_prefill = apply_rope(
+                    reconstruct_group_heads(
+                        gf.k_us,
+                        vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                        cfg.num_kv_heads,
+                    ),
+                    cos_p[None],
+                    sin_p[None],
+                ).astype(q.dtype)
+            else:
+                k_prefill = cache.dense_k[li]
+            if use_factored_v:
+                from xkv_tpu.ops.attention import reconstruct_group_heads
+
+                v_prefill = reconstruct_group_heads(
+                    gf.v_us,
+                    vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                    cfg.num_kv_heads,
+                ).astype(q.dtype)
+            else:
+                v_prefill = cache.dense_v[li]
+            parts.append(dense_decode_attention_xla(q, k_prefill, v_prefill, scale))
+
+        # --- decode tail (includes this step's token(s))
+        valid = (cache.tail_len + ql) * jnp.ones((b,), jnp.int32)
+        parts.append(
+            dense_decode_attention_xla(
+                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid[:, None]
+            )
+        )
+
+        attn = merge_partials(*parts).astype(h.dtype)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, ql, -1)
+        h = resid + attn @ layer["attn"]["wo"]
+        h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
+
+    logits = unembed(params, cfg, h)
+    return logits, cache.advance(ql)
