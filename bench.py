@@ -1,0 +1,134 @@
+"""Benchmark: decode throughput with the xKV factored cache vs uncompressed.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the speedup of factored-cache decode over the
+uncompressed-cache baseline on the same hardware/model (the reference never
+measured decode throughput — efficiency eval is an unreleased roadmap item,
+reference README.md:139-141 — so the baseline is the uncompressed cache, per
+BASELINE.md's north star: >= 2x decode tokens/s).
+
+Model geometry: Llama-3.1-8B per-layer shape (hidden 4096, 32 q heads,
+8 KV heads, head_dim 128) truncated to fit one chip; xKV-4 ranks
+rank_k=512 / rank_v=768 (8x KV compression, reference README.md:87-88).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(cfg_kind: str, ctx: int, layers: int, tail: int, batch: int):
+    from xkv_tpu.configs import generate_consecutive_xkv_config
+    from xkv_tpu.engine import InferenceEngine
+    from xkv_tpu.models.config import ModelConfig
+    from xkv_tpu.models.llama import init_params
+
+    if cfg_kind == "8b":
+        cfg = ModelConfig(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=layers,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_theta=500000.0,
+        )
+        rank_k, rank_v, group = 512, 768, 4
+    else:  # quick
+        cfg = ModelConfig(
+            vocab_size=2048,
+            hidden_size=512,
+            intermediate_size=1024,
+            num_layers=4,
+            num_q_heads=8,
+            num_kv_heads=4,
+            head_dim=64,
+            rope_theta=10000.0,
+        )
+        rank_k, rank_v, group = 64, 96, 4
+
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=-1, group_size=group,
+        rank_k=rank_k, rank_v=rank_v,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, ctx), 0, cfg.vocab_size)
+    return cfg, xkv, params, prompt
+
+
+def measure_decode(eng, prompt, steps: int) -> float:
+    """Steady-state decode tokens/s (compile excluded via warmup)."""
+    logits, cache = eng.prefill(prompt)
+    jax.block_until_ready(logits)
+    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+
+    # Warmup: compile the scan with a 1-step run.
+    _, warm_cache = eng._generate_fn(cache, eng.params, first, pos, n_steps=steps)
+    jax.block_until_ready(warm_cache.tail_len)
+
+    # Re-prefill (cache was donated) and time.
+    logits, cache = eng.prefill(prompt)
+    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    t0 = time.perf_counter()
+    toks, cache = eng._generate_fn(cache, eng.params, first, pos, n_steps=steps)
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    batch = prompt.shape[0]
+    return steps * batch / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny model smoke run")
+    ap.add_argument("--ctx", type=int, default=None)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--attention-impl", default=None, choices=["xla", "pallas"])
+    args = ap.parse_args()
+
+    from xkv_tpu.engine import InferenceEngine
+
+    kind = "quick" if args.quick else "8b"
+    ctx = args.ctx or (1024 if args.quick else 32768)
+    steps = 8 if args.quick else args.steps
+    tail = steps + 8
+
+    # TODO(M2): default to the Pallas kernels on TPU once they land.
+    attention_impl = args.attention_impl or "xla"
+
+    cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail, args.batch)
+
+    eng_fact = InferenceEngine(
+        params, cfg, xkv=xkv, mode="factored", tail_max=tail,
+        attention_impl=attention_impl,
+    )
+    tps_fact = measure_decode(eng_fact, prompt, steps)
+
+    eng_none = InferenceEngine(
+        params, cfg, mode="none", tail_max=tail, attention_impl=attention_impl,
+    )
+    tps_none = measure_decode(eng_none, prompt, steps)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"decode tokens/s/chip @ {ctx} ctx, 8x KV compression "
+                f"({kind} geometry, {cfg.num_layers} layers, {attention_impl})",
+                "value": round(tps_fact, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tps_fact / tps_none, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,11 +41,20 @@ class InferenceEngine:
         donate_cache: bool = True,
         cache_dtype=jnp.bfloat16,
         factor_dtype=jnp.bfloat16,
+        mesh=None,
     ):
         if mode not in ("factored", "fake", "none"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode != "none" and xkv is None:
             raise ValueError("xkv config required unless mode='none'")
+        # With a mesh, weights are TP/DP-sharded up front and GSPMD propagates
+        # shardings through prefill/decode, inserting ICI collectives
+        # (scaling-book recipe: annotate inputs, let XLA do the rest).
+        self.mesh = mesh
+        if mesh is not None:
+            from xkv_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.xkv = xkv
@@ -136,7 +145,13 @@ class InferenceEngine:
     # ------------------------------------------------------------ public API
     def prefill(self, tokens) -> Tuple[jax.Array, XKVCache]:
         """tokens: (b, s) -> (logits (b, s, V) fp32, cache)."""
-        return self._prefill_fn(self.params, jnp.asarray(tokens, jnp.int32))
+        tokens = jnp.asarray(tokens, jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from xkv_tpu.parallel.sharding import token_pspec
+
+            tokens = jax.device_put(tokens, NamedSharding(self.mesh, token_pspec()))
+        return self._prefill_fn(self.params, tokens)
 
     def decode_step(self, cache, tokens, pos):
         return self._decode_fn(cache, self.params, jnp.asarray(tokens, jnp.int32), pos)

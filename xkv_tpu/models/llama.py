@@ -154,10 +154,11 @@ def prefill(
 
             attn = flash_attention_fwd(
                 q, k, v, scale=scale, causal=True, window=cfg.sliding_window
-            )
+            )  # (b, s, hq, hd)
+            attn = attn.reshape(b, s, -1)
         else:
             attn = mha_reference(q, k, v, scale, causal=True, window=cfg.sliding_window)
-        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
+            attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
         h = resid + attn @ layer["attn"]["wo"]
         h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
     logits = unembed(params, cfg, h)

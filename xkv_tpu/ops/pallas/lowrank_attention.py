@@ -1,0 +1,240 @@
+"""Fused low-rank ("dequant") decode attention — the heart of the TPU build.
+
+The reference reconstructs a full-size lossy K/V cache in HBM and runs SDPA
+over it (`fake_layer_merge_dynamic_cache.py:202-213` + `attn_patch/llama.py:58`).
+This kernel instead reads the cache *as factors*:
+
+    K_layer = (k_us @ k_vt_layer)          (b, s_p, hkv*hd)   pre-RoPE
+    V_layer = (v_us @ v_vt_layer)
+
+and reconstructs each sequence block **in VMEM**, applies RoPE to the
+reconstructed keys (the xKV convention: merge pre-RoPE, rotate after —
+`fake_layer_merge_dynamic_cache.py:142-152`), computes the score/value
+GEMMs, and accumulates with online softmax. Full K/V never exist in HBM.
+
+HBM traffic per layer: s_p*(rk + rv) elements instead of s_p*2*hkv*hd —
+e.g. Llama-3.1-8B xKV-4 (rk=512, rv=768 vs 2*1024): 1.6x less bandwidth,
+8x less capacity.
+
+Performance notes:
+  * reconstruction matmuls run in the factors' dtype (bf16) with fp32
+    accumulation — MXU native;
+  * per-head work uses static column slices of the reconstructed block
+    (layout (block_s, hkv*hd) keeps head_dim innermost) — no transposes;
+  * softmax state is blockwise-parallel over (hkv*q_per_kv) rows.
+
+Grid: (b, s_blocks); s_blocks is the online-softmax reduction. The small
+vt factors and RoPE tables have constant index maps, so Pallas keeps them
+resident in VMEM across blocks.
+
+Returns normalized output plus logsumexp so the caller can merge with the
+dense decode-tail segment (flash-decoding combine).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _lowrank_kernel(
+    q_ref,  # (1, hq, hkv*hd)  queries block-diagonally embedded (see wrapper)
+    head_mask_ref,  # (hq, hkv*hd)  1.0 on own head's columns, else 0.0
+    k_us_ref,  # (1, block_s, rk)
+    k_vt_ref,  # (1, rk, hkv*hd)
+    v_us_ref,  # (1, block_s, rv)
+    v_vt_ref,  # (1, rv, hkv*hd)
+    cos_ref,  # (block_s, hd)
+    sin_ref,  # (block_s, hd)
+    o_ref,  # (1, hq, hd)
+    lse_ref,  # (1, 8, hq) fp32  (sublane-padded)
+    m_scratch,  # (hq, 128) fp32
+    l_scratch,  # (hq, 128) fp32
+    acc_scratch,  # (hq, hd) fp32
+    *,
+    scale: float,
+    block_s: int,
+    s_total: int,
+    hkv: int,
+    hd: int,
+):
+    si = pl.program_id(1)
+    num_s = pl.num_programs(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    compute_dtype = k_us_ref.dtype
+
+    # ---- reconstruct this block's pre-RoPE K in VMEM (one MXU matmul) ----
+    k_pre = jnp.dot(
+        k_us_ref[0], k_vt_ref[0], preferred_element_type=jnp.float32
+    )  # (block_s, hkv*hd)
+
+    # ---- RoPE on reconstructed keys (VPU); head_dim stays innermost ----
+    cos = cos_ref[...].astype(jnp.float32)  # (block_s, hd)
+    sin = sin_ref[...].astype(jnp.float32)
+    k_heads = k_pre.reshape(block_s, hkv, hd)
+    k_rot = (
+        (k_heads * cos[:, None, :] + _rotate_half(k_heads) * sin[:, None, :])
+        .reshape(block_s, hkv * hd)
+        .astype(compute_dtype)
+    )
+
+    # ---- scores for ALL query heads in one GEMM ----
+    # q is embedded block-diagonally: row (g, j) holds q_{g,j} in columns
+    # [g*hd, (g+1)*hd) and zeros elsewhere, so q_emb @ k_rot^T computes each
+    # head's scores against its own kv head only. One (hq, hkv*hd) x
+    # (hkv*hd, block_s) GEMM instead of hkv tiny 4-row matmuls.
+    s = jax.lax.dot_general(
+        q_ref[0].astype(compute_dtype),
+        k_rot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (hq, block_s)
+    s = s * scale
+    col_mask = (
+        si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+    ) < s_total
+    s = jnp.where(col_mask, s, NEG_INF)
+
+    # ---- online softmax over all hq rows at once ----
+    m_prev = m_scratch[...][:, :1]
+    l_prev = l_scratch[...][:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+    # ---- reconstruct V block and accumulate ----
+    v_blk = jnp.dot(
+        v_us_ref[0], v_vt_ref[0], preferred_element_type=jnp.float32
+    ).astype(compute_dtype)  # (block_s, hkv*hd)
+    o_full = jnp.dot(
+        p.astype(compute_dtype), v_blk, preferred_element_type=jnp.float32
+    )  # (hq, hkv*hd) — row (g, j) needs only its own head's column block
+    o_curr = jnp.sum(
+        (o_full * head_mask_ref[...]).reshape(o_full.shape[0], hkv, hd), axis=1
+    )  # block-diagonal extract (VPU, trivial)
+    acc_scratch[...] = acc_scratch[...] * alpha + o_curr
+
+    @pl.when(si == num_s - 1)
+    def _store():
+        m = m_scratch[...][:, :1]
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        lse = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]  # (hq,)
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "num_kv_heads", "block_s", "interpret")
+)
+def lowrank_decode_attention(
+    q: jax.Array,  # (b, hq, 1, hd) post-RoPE decode queries
+    k_us: jax.Array,  # (b, s_p, rk)
+    k_vt_slice: jax.Array,  # (b, rk, hkv*hd) — this layer's V^T columns
+    v_us: jax.Array,  # (b, s_p, rv)
+    v_vt_slice: jax.Array,  # (b, rv, hkv*hd)
+    cos_p: jax.Array,  # (s_p, hd)
+    sin_p: jax.Array,  # (s_p, hd)
+    *,
+    scale: float,
+    num_kv_heads: int,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused factored-cache decode attention for one layer.
+
+    Returns (out (b, hq, 1, hd), lse (b, hq, 1)) — a PartialAttention pair
+    mergeable with the dense tail segment.
+    """
+    b, hq, ql, hd = q.shape
+    assert ql == 1, "decode kernel is single-token (tail handles the rest)"
+    hkv = num_kv_heads
+    q_per_kv = hq // hkv
+    s_p = k_us.shape[1]
+    rk = k_us.shape[2]
+    rv = v_us.shape[2]
+
+    block_s = min(block_s, s_p)
+    # Zero-pad partial blocks (Pallas OOB reads are uninitialized memory).
+    s_pad = pl.cdiv(s_p, block_s) * block_s
+    if s_pad != s_p:
+        k_us = jnp.pad(k_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        v_us = jnp.pad(v_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        cos_p = jnp.pad(cos_p, ((0, s_pad - s_p), (0, 0)))
+        sin_p = jnp.pad(sin_p, ((0, s_pad - s_p), (0, 0)))
+    grid_s = s_pad // block_s
+
+    # Block-diagonal embedding of q: row (g, j) -> columns [g*hd, (g+1)*hd).
+    q3 = q[:, :, 0, :]  # (b, hq, hd)
+    head_ids = jnp.repeat(jnp.arange(hkv), q_per_kv)  # (hq,)
+    col_head = jnp.repeat(jnp.arange(hkv), hd)  # (hkv*hd,)
+    head_mask = (head_ids[:, None] == col_head[None, :]).astype(q.dtype)  # (hq, m)
+    q_emb = jnp.tile(q3, (1, 1, hkv)) * head_mask[None]  # (b, hq, hkv*hd)
+
+    kernel = functools.partial(
+        _lowrank_kernel,
+        scale=scale,
+        block_s=block_s,
+        s_total=s_p,
+        hkv=hkv,
+        hd=hd,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, 8, hq), jnp.float32),
+        ),
+        grid=(b, grid_s),
+        in_specs=[
+            pl.BlockSpec((1, hq, hkv * hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((hq, hkv * hd), lambda bi, si: (0, 0)),
+            pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, rk, hkv * hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, rv, hkv * hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((block_s, hd), lambda bi, si: (si, 0)),
+            pl.BlockSpec((block_s, hd), lambda bi, si: (si, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hq, hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, hq), lambda bi, si: (bi, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # v5e default scoped-vmem limit is 16MB; the resident vt factors
+            # plus double-buffered us blocks need more at rank 512/768.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_emb, head_mask, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p)
+
+    return out[:, :, None, :], lse[:, 0, :, None]
