@@ -101,8 +101,10 @@ def main():
     steps = 8 if args.quick else args.steps
     tail = steps + 8
 
-    # TODO(M2): default to the Pallas kernels on TPU once they land.
-    attention_impl = args.attention_impl or "xla"
+    if args.attention_impl is None:
+        attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    else:
+        attention_impl = args.attention_impl
 
     cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail, args.batch)
 

@@ -216,3 +216,26 @@ def test_score_teacher_forcing_matches_oracle(params, prompt):
         rtol=2e-4,
         atol=2e-4,
     )
+
+
+def test_pallas_attention_impl_matches_xla(params, prompt):
+    """Full engine with attention_impl='pallas' (interpret mode on CPU) must
+    match the XLA path: prefill flash kernel + fused low-rank decode kernel."""
+    cfg = xkv_cfg(group_size=2, rank_k=16, rank_v=20)
+    eng_xla = make_engine(params, "factored", cfg)
+    eng_pl = make_engine(params, "factored", cfg, attention_impl="pallas")
+
+    lx, cx = eng_xla.prefill(prompt)
+    lp, cp = eng_pl.prefill(prompt)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), rtol=2e-3, atol=2e-3)
+
+    tok = jnp.argmax(lx[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    for _ in range(3):
+        ox, cx = eng_xla.decode_step(cx, tok, pos)
+        op, cp = eng_pl.decode_step(cp, tok, pos)
+        np.testing.assert_allclose(
+            np.asarray(op), np.asarray(ox), rtol=5e-3, atol=5e-3
+        )
+        tok = jnp.argmax(ox[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        pos = pos + 1

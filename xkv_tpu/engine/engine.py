@@ -105,7 +105,8 @@ class InferenceEngine:
     def _decode_impl(self, cache, params, tokens, pos):
         cos_sin = self._prefill_cos_sin(cache.prefill_len)
         return llama.decode_step(
-            params, self.cfg, self.xkv, cache, tokens, pos, cos_sin
+            params, self.cfg, self.xkv, cache, tokens, pos, cos_sin,
+            attention_impl=self.attention_impl,
         )
 
     def _generate_impl(self, cache, params, first_token, start_pos, n_steps: int):
@@ -114,7 +115,8 @@ class InferenceEngine:
         def body(carry, _):
             cache, token, pos = carry
             logits, cache = llama.decode_step(
-                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin
+                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin,
+                attention_impl=self.attention_impl,
             )
             next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             return (cache, next_tok, pos + 1), next_tok
@@ -133,7 +135,8 @@ class InferenceEngine:
         def body(carry, token):
             cache, pos = carry
             logits, cache = llama.decode_step(
-                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin
+                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin,
+                attention_impl=self.attention_impl,
             )
             logprobs = jax.nn.log_softmax(logits[:, -1, :], axis=-1)
             return (cache, pos + 1), logprobs

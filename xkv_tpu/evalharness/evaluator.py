@@ -1,0 +1,139 @@
+"""Greedy-generation evaluator with data-parallel sharding.
+
+Behavioral port of the reference `evaluate/evaluator.py:30-144`:
+  * shards the dataset over ranks, greedy-generates per sample,
+  * scores with the dataset's metric (LongBench classes variant included),
+  * streams per-sample predictions to jsonl (resumable, append-only),
+  * ``summarize()`` computes sample-weighted means across ranks.
+
+The distributed reduce uses ``jax.experimental.multihost_utils`` when
+running under ``jax.distributed`` (the GSPMD equivalent of the reference's
+NCCL ``gather_object``); single-process runs skip it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+class Evaluator:
+    def __init__(
+        self,
+        generate_fn: Callable[[np.ndarray, int], List[np.ndarray]],
+        decode_fn: Callable[[np.ndarray], str],
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        """generate_fn(prompt_ids (1, s), gen_len) -> token rows;
+        decode_fn(token_row) -> text."""
+        self.generate_fn = generate_fn
+        self.decode_fn = decode_fn
+        self.rank = rank
+        self.world_size = world_size
+        self.results: List[Dict] = []
+
+    def test(self, dataset, output_path: Optional[str] = None, verbose: bool = True):
+        if not dataset.is_sharded:
+            dataset.shard(self.rank, self.world_size)
+
+        scores = []
+        records = []
+        t_start = time.time()
+        for idx in range(len(dataset)):
+            prompt, gt = dataset[idx]
+            out_tokens = self.generate_fn(prompt, dataset.gen_len)
+            pred = self.decode_fn(np.asarray(out_tokens).reshape(-1))
+            if dataset.classes is not None:
+                score = dataset.metric(pred, gt[0], all_classes=dataset.classes[idx])
+            else:
+                score = self._score(dataset.metric, pred, gt)
+            scores.append(score)
+            rec = {
+                "index": idx,
+                "rank": self.rank,
+                "prediction": pred,
+                "ground_truth": gt,
+                "score": score,
+                "prompt_len": int(prompt.shape[-1]),
+            }
+            records.append(rec)
+            if output_path:
+                os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+                with open(output_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if verbose:
+                avg = sum(scores) / len(scores)
+                print(
+                    f"[rank {self.rank}] {dataset.dataset_name} "
+                    f"{idx + 1}/{len(dataset)} score={score:.3f} avg={avg:.3f}",
+                    flush=True,
+                )
+
+        elapsed = time.time() - t_start
+        summary = {
+            "dataset": dataset.dataset_name,
+            "n_samples": len(scores),
+            "score": float(np.mean(scores)) if scores else 0.0,
+            "elapsed_s": elapsed,
+        }
+        self.results.append(summary)
+        return summary
+
+    @staticmethod
+    def _score(metric, pred: str, gt) -> float:
+        """RULER ground truths are lists for multi-* tasks, else a list of
+        acceptable strings — mirror the reference's per-metric call shapes."""
+        from xkv_tpu.evalharness import metrics as M
+
+        if metric in (M.multi_number, M.multi_words):
+            return metric(pred, gt)
+        if metric is M.needle_score:
+            gts = gt if isinstance(gt, list) else [gt]
+            return max(metric(pred, g) for g in gts)
+        return metric(pred, gt)
+
+    def summarize(self) -> Dict:
+        """Sample-weighted mean per dataset across ranks
+        (reference `evaluator.py:109-144`)."""
+        all_results = self.results
+        if self.world_size > 1:
+            import jax
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                np.frombuffer(
+                    json.dumps(self.results).encode().ljust(65536, b" "), dtype=np.uint8
+                )
+            )
+            if jax.process_index() == 0:
+                all_results = []
+                for row in np.asarray(gathered).reshape(self.world_size, -1):
+                    all_results.extend(json.loads(bytes(row.tolist()).decode().strip()))
+            else:
+                return {}
+
+        by_dataset: Dict[str, List[Dict]] = {}
+        for r in all_results:
+            by_dataset.setdefault(r["dataset"], []).append(r)
+        summary = {}
+        for name, rows in by_dataset.items():
+            total_n = sum(r["n_samples"] for r in rows)
+            weighted = (
+                sum(r["score"] * r["n_samples"] for r in rows) / total_n
+                if total_n
+                else 0.0
+            )
+            summary[name] = {"score": weighted, "n_samples": total_n}
+        return summary
+
+    def markdown_table(self) -> str:
+        summary = self.summarize()
+        lines = ["| dataset | score | n |", "|---|---|---|"]
+        for name, row in summary.items():
+            lines.append(f"| {name} | {row['score']:.4f} | {row['n_samples']} |")
+        return "\n".join(lines)

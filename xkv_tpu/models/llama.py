@@ -174,6 +174,7 @@ def decode_step(
     tokens: jax.Array,
     pos: jax.Array,
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
+    attention_impl: str = "xla",
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step with the hybrid factored cache.
 
@@ -213,19 +214,30 @@ def decode_step(
             use_factored_k = gf.k_us is not None
             use_factored_v = gf.v_us is not None
         if use_factored_k and use_factored_v:
-            parts.append(
-                factored_decode_attention_xla(
-                    q,
-                    gf.k_us,
-                    vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
-                    gf.v_us,
-                    vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
-                    cos_p,
-                    sin_p,
-                    scale,
-                    cfg.num_kv_heads,
-                )
+            factored_args = (
+                q,
+                gf.k_us,
+                vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                gf.v_us,
+                vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                cos_p,
+                sin_p,
             )
+            if attention_impl == "pallas" and ql == 1:
+                from xkv_tpu.ops.pallas.lowrank_attention import (
+                    lowrank_decode_attention,
+                )
+
+                out_f, lse_f = lowrank_decode_attention(
+                    *factored_args, scale=scale, num_kv_heads=cfg.num_kv_heads
+                )
+                parts.append(PartialAttention(out=out_f, lse=lse_f))
+            else:
+                parts.append(
+                    factored_decode_attention_xla(
+                        *factored_args, scale, cfg.num_kv_heads
+                    )
+                )
         else:
             # Mixed or fully-dense prefill segment.
             if use_factored_k:

@@ -125,10 +125,12 @@ def flash_attention_fwd(
     window: Optional[int] = None,
     block_q: int = 512,
     block_k: int = 512,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Returns (b, s_q, hq, hd) attention output (note: seq-major layout,
     ready for the (b, s, d) reshape that feeds wo)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, hq, s_q, hd = q.shape
     _, hkv, s_k, _ = k.shape
     q_per_kv = hq // hkv

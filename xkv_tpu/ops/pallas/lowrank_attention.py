@@ -34,7 +34,7 @@ dense decode-tail segment (flash-decoding combine).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,7 @@ def _lowrank_kernel(
     lse_ref,  # (1, 8, hq) fp32  (sublane-padded)
     m_scratch,  # (hq, 128) fp32
     l_scratch,  # (hq, 128) fp32
-    acc_scratch,  # (hq, hd) fp32
+    t_scratch,  # (hq, rv) fp32 — rank-space value accumulator
     *,
     scale: float,
     block_s: int,
@@ -77,7 +77,7 @@ def _lowrank_kernel(
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
-        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        t_scratch[...] = jnp.zeros_like(t_scratch)
 
     compute_dtype = k_us_ref.dtype
 
@@ -124,24 +124,30 @@ def _lowrank_kernel(
     m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
     l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-    # ---- reconstruct V block and accumulate ----
-    v_blk = jnp.dot(
-        v_us_ref[0], v_vt_ref[0], preferred_element_type=jnp.float32
-    ).astype(compute_dtype)  # (block_s, hkv*hd)
-    o_full = jnp.dot(
-        p.astype(compute_dtype), v_blk, preferred_element_type=jnp.float32
-    )  # (hq, hkv*hd) — row (g, j) needs only its own head's column block
-    o_curr = jnp.sum(
-        (o_full * head_mask_ref[...]).reshape(o_full.shape[0], hkv, hd), axis=1
-    )  # block-diagonal extract (VPU, trivial)
-    acc_scratch[...] = acc_scratch[...] * alpha + o_curr
+    # ---- rank-space value accumulation: t += P @ v_us (V has no RoPE, so
+    # P @ (v_us @ v_vt) = (P @ v_us) @ v_vt; the v_vt GEMM happens once at
+    # the end — 32x fewer FLOPs than reconstructing V per block) ----
+    t_curr = jnp.dot(
+        p.astype(compute_dtype), v_us_ref[0], preferred_element_type=jnp.float32
+    )  # (hq, rv)
+    t_scratch[...] = t_scratch[...] * alpha + t_curr
 
     @pl.when(si == num_s - 1)
     def _store():
         m = m_scratch[...][:, :1]
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        # Final projection through the shared V^T basis; block-diagonal
+        # extract picks each row's own kv-head columns.
+        o_full = jnp.dot(
+            (t_scratch[...] * l_inv).astype(compute_dtype),
+            v_vt_ref[0],
+            preferred_element_type=jnp.float32,
+        )  # (hq, hkv*hd)
+        o_curr = jnp.sum(
+            (o_full * head_mask_ref[...]).reshape(o_full.shape[0], hkv, hd), axis=1
+        )
+        o_ref[0] = o_curr.astype(o_ref.dtype)
         lse = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]  # (hq,)
         lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
@@ -160,14 +166,16 @@ def lowrank_decode_attention(
     *,
     scale: float,
     num_kv_heads: int,
-    block_s: int = 512,
-    interpret: bool = False,
+    block_s: int = 1024,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused factored-cache decode attention for one layer.
 
     Returns (out (b, hq, 1, hd), lse (b, hq, 1)) — a PartialAttention pair
     mergeable with the dense tail segment.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, hq, ql, hd = q.shape
     assert ql == 1, "decode kernel is single-token (tail handles the rest)"
     hkv = num_kv_heads
@@ -226,7 +234,7 @@ def lowrank_decode_attention(
         scratch_shapes=[
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.VMEM((hq, hd), jnp.float32),
+            pltpu.VMEM((hq, rv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
