@@ -1,0 +1,196 @@
+"""Eval harness tests: metrics, RULER generators, Dataset routing, Evaluator."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xkv_tpu.evalharness import metrics as M
+from xkv_tpu.evalharness.ruler.generators import generate_task, write_jsonl
+from xkv_tpu.utils.tokenizer import ByteTokenizer
+
+
+# ------------------------------------------------------------------ metrics
+def test_needle_score():
+    assert M.needle_score("The answer is 1234567", "1234567") == 1.0
+    assert M.needle_score(" 1234567 something", "1234567") == 1.0
+    assert M.needle_score("nope", "1234567") == 0.0
+
+
+def test_string_match_part_bidirectional():
+    assert M.string_match_part("the answer: Paris!", ["paris"]) == 1.0
+    assert M.string_match_part("par", ["paris"]) == 1.0  # pred in ref
+    assert M.string_match_part("london", ["paris"]) == 0.0
+
+
+def test_multi_number_hit_rate():
+    assert M.multi_number("found 111 and 222", ["111", "222", "333"]) == pytest.approx(
+        2 / 3
+    )
+
+
+def test_multi_words():
+    assert M.multi_words("the words are ALPHA and beta", ["alpha", "beta"]) == 1.0
+    assert M.multi_words("only alpha", ["alpha", "beta"]) == 0.5
+
+
+def test_qa_f1():
+    # "the" is removed by normalization (article), so this is a perfect match
+    assert M.qa_f1_score("the cat sat", "cat sat") == pytest.approx(1.0)
+    # partial overlap: pred {big, cat, sat} vs gt {cat, sat} -> F1 = 0.8
+    assert M.qa_f1_score("big cat sat", "cat sat") == pytest.approx(0.8)
+    assert M.qa_f1_score("", "cat") == 0.0
+
+
+def test_postprocess_strips_special_tokens():
+    assert M.postprocess_pred("answer<|eot_id|>") == "answer"
+    assert M.postprocess_pred("x</s>") == "x"
+
+
+def test_classification_score_exact_and_fuzzy():
+    assert (
+        M.classification_score("this is sports news", "sports",
+                               all_classes=["sports", "politics"])
+        == 1.0
+    )
+    # no exact class mention -> fuzzy fallback
+    assert M.classification_score(
+        "sporst", "sports", all_classes=["sports", "politics"]
+    ) in (0.0, 1.0)
+
+
+def test_needle_score_prefix_rule():
+    # prefix match semantics from the reference: compare first len(gt) chars
+    assert M.needle_score("1234567 and more text", "1234567") == 1.0
+
+
+# --------------------------------------------------------------- generators
+@pytest.mark.parametrize("task", ["niah_single_1", "vt", "cwe", "fwe"])
+def test_generator_fills_context(task):
+    tok = ByteTokenizer()
+    rows = generate_task(task, tokenizer=tok, max_seq_length=2048, num_samples=2)
+    assert len(rows) == 2
+    for r in rows:
+        assert r["length"] <= 2048
+        # context sizing should fill at least half the budget
+        assert r["length"] > 1024, f"{task} underfilled: {r['length']}"
+        assert r["outputs"]
+
+
+def test_generator_deterministic():
+    tok = ByteTokenizer()
+    a = generate_task("niah_single_1", tokenizer=tok, max_seq_length=1024, num_samples=2)
+    b = generate_task("niah_single_1", tokenizer=tok, max_seq_length=1024, num_samples=2)
+    assert a == b
+
+
+def test_niah_answer_in_context():
+    rows = generate_task(
+        "niah_single_1", tokenizer=ByteTokenizer(), max_seq_length=1024, num_samples=2
+    )
+    for r in rows:
+        for ans in r["outputs"]:
+            assert ans in r["input"]
+
+
+def test_vt_chain_value_query():
+    rows = generate_task("vt", tokenizer=ByteTokenizer(), max_seq_length=1024,
+                         num_samples=1)
+    r = rows[0]
+    assert len(r["outputs"]) == 5  # num_hops=4 -> 5 variables
+    for var in r["outputs"]:
+        assert f"VAR {var}" in r["input"]
+
+
+def test_fwe_top3_most_frequent():
+    rows = generate_task("fwe", tokenizer=ByteTokenizer(), max_seq_length=2048,
+                         num_samples=1)
+    r = rows[0]
+    # the three answers are the 3 highest-frequency non-noise coded words
+    from collections import Counter
+
+    context = r["input"].split("Question:")[0]
+    counts = Counter(w for w in context.split() if len(w) == 6 and w.isalpha())
+    top = [w for w, _ in counts.most_common(6)]
+    assert all(a in top for a in r["outputs"])
+
+
+# ------------------------------------------------------------------ dataset
+def test_dataset_jsonl_roundtrip(tmp_path):
+    from xkv_tpu.evalharness.dataset import Dataset
+
+    tok = ByteTokenizer()
+    rows = generate_task("niah_single_1", tokenizer=tok, max_seq_length=1024,
+                         num_samples=4)
+    path = tmp_path / "base" / "8192" / "niah_single_1" / "validation.jsonl"
+    write_jsonl(rows, str(path))
+    ds = Dataset("ruler/niah_single_1", tok, 8192, data_dir=str(tmp_path))
+    assert len(ds) == 4
+    assert ds.gen_len == 128  # reference dataset.py:178-179: niah tasks gen 128
+    prompt, gt = ds[0]
+    assert prompt.dtype == np.int32 and prompt.ndim == 2
+    assert gt == rows[0]["outputs"]
+
+
+def test_dataset_sharding(tmp_path):
+    from xkv_tpu.evalharness.dataset import Dataset
+
+    tok = ByteTokenizer()
+    rows = generate_task("niah_single_1", tokenizer=tok, max_seq_length=1024,
+                         num_samples=5)
+    path = tmp_path / "base" / "8192" / "niah_single_1" / "validation.jsonl"
+    write_jsonl(rows, str(path))
+
+    sizes = []
+    for rank in range(2):
+        ds = Dataset("ruler/niah_single_1", tok, 8192, data_dir=str(tmp_path))
+        ds.shard(rank, 2)
+        sizes.append(len(ds))
+    assert sizes == [2, 3]  # last rank takes the remainder
+
+
+def test_dataset_invalid_datalen(tmp_path):
+    from xkv_tpu.evalharness.dataset import Dataset
+
+    with pytest.raises(ValueError):
+        Dataset("ruler/niah_single_1", ByteTokenizer(), 12345, data_dir=str(tmp_path))
+
+
+# ----------------------------------------------------------------- evaluator
+def test_evaluator_with_echo_engine(tmp_path):
+    """An 'engine' that echoes the ground truth scores 1.0."""
+    from xkv_tpu.evalharness.dataset import Dataset
+    from xkv_tpu.evalharness.evaluator import Evaluator
+
+    tok = ByteTokenizer()
+    rows = generate_task("niah_single_1", tokenizer=tok, max_seq_length=1024,
+                         num_samples=3)
+    path = tmp_path / "base" / "8192" / "niah_single_1" / "validation.jsonl"
+    write_jsonl(rows, str(path))
+    ds = Dataset("ruler/niah_single_1", tok, 8192, data_dir=str(tmp_path))
+
+    answers = {tuple(r[0].reshape(-1).tolist()): r[1] for r in ds}
+
+    def generate_fn(prompt, gen_len):
+        gt = answers[tuple(prompt.reshape(-1).tolist())]
+        return np.asarray(tok.encode(" " + gt[0]))
+
+    ev = Evaluator(generate_fn, tok.decode)
+    out_path = str(tmp_path / "preds.jsonl")
+    summary = ev.test(ds, output_path=out_path, verbose=False)
+    assert summary["score"] == 1.0
+    assert summary["n_samples"] == 3
+    assert len(open(out_path).readlines()) == 3
+    final = ev.summarize()
+    assert final["ruler/niah_single_1"]["score"] == 1.0
+
+
+def test_evaluator_markdown(tmp_path):
+    from xkv_tpu.evalharness.evaluator import Evaluator
+
+    ev = Evaluator(lambda p, g: np.zeros(1, np.int32), lambda t: "")
+    ev.results.append({"dataset": "d", "n_samples": 2, "score": 0.5, "elapsed_s": 0})
+    ev.results.append({"dataset": "d", "n_samples": 6, "score": 1.0, "elapsed_s": 0})
+    md = ev.markdown_table()
+    assert "0.8750" in md  # (0.5*2 + 1.0*6) / 8

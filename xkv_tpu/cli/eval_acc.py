@@ -1,0 +1,111 @@
+"""Accuracy evaluation CLI (RULER / LongBench / local jsonl).
+
+Counterpart of the reference's `evaluate/eval_acc.py:92-165`:
+seeds everything, loads the model, applies the xKV merge plan, iterates
+datasets through the Evaluator, appends aggregated results (with timestamp
+and full args) to ``{result_dir}/{benchmark}/{model}.json``.
+
+Data parallelism: the reference spawns torchrun ranks; here pass
+--rank/--world_size (e.g. one process per host under jax.distributed) or
+run single-process.
+
+  python -m xkv_tpu.cli.eval_acc --model <dir> --xKV \\
+      --layer_group_size 4 --rank_k 512 --rank_v 768 \\
+      --datasets ruler/niah_single_1 --datalen 65536
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from xkv_tpu.cli.common import add_common_args, build_engine, load_model_and_tokenizer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--datasets", nargs="+", required=True)
+    parser.add_argument("--datalen", type=int, default=65536)
+    parser.add_argument("--num_samples", type=int, default=-1)
+    parser.add_argument("--result_dir", type=str, default="results")
+    parser.add_argument("--benchmark", type=str, default="ruler")
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--world_size", type=int, default=1)
+    parser.add_argument("--gen_len", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    np.random.seed(args.seed)
+
+    params, cfg, tokenizer = load_model_and_tokenizer(args)
+
+    from xkv_tpu.evalharness import Dataset, Evaluator
+
+    datasets = []
+    max_gen = 1
+    for name in args.datasets:
+        ds = Dataset(
+            name,
+            tokenizer,
+            args.datalen,
+            num_samples=args.num_samples,
+            data_dir=args.data_dir,
+            gen_len=args.gen_len,
+        )
+        datasets.append(ds)
+        max_gen = max(max_gen, ds.gen_len)
+
+    engine = build_engine(args, params, cfg, tail_max=max_gen + 8)
+
+    eos = getattr(tokenizer, "eos_token_id", None)
+
+    def generate_fn(prompt_ids, gen_len):
+        out = engine.generate(prompt_ids, max_new_tokens=gen_len, eos_token_id=eos)
+        return out[0] if isinstance(out, list) else np.asarray(out)[0]
+
+    def decode_fn(tokens):
+        return tokenizer.decode(tokens, skip_special_tokens=True)
+
+    evaluator = Evaluator(
+        generate_fn, decode_fn, rank=args.rank, world_size=args.world_size
+    )
+
+    model_name = os.path.basename(os.path.normpath(args.model)).replace(":", "_")
+    for ds in datasets:
+        pred_path = os.path.join(
+            args.result_dir,
+            args.benchmark,
+            model_name,
+            f"{ds.dataset_name.replace('/', '_')}_rank{args.rank}.jsonl",
+        )
+        summary = evaluator.test(ds, output_path=pred_path)
+        print(f"[rank {args.rank}] {ds.dataset_name}: {summary}")
+
+    final = evaluator.summarize()
+    if final or args.world_size == 1:
+        out_path = os.path.join(args.result_dir, args.benchmark, f"{model_name}.json")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        existing = []
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                existing = json.load(f)
+        existing.append(
+            {
+                "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "args": {k: str(v) for k, v in vars(args).items()},
+                "results": final,
+            }
+        )
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(evaluator.markdown_table())
+        print(f"results appended to {out_path}")
+
+
+if __name__ == "__main__":
+    main()
