@@ -63,27 +63,33 @@ def build(cfg_kind: str, ctx: int, layers: int, tail: int, batch: int):
 
 
 def measure_decode(eng, prompt, steps: int) -> float:
-    """Steady-state decode tokens/s.
+    """Steady-state decode tokens/s via paired-length measurement.
 
-    The warmup (compile) run uses a DIFFERENT first token than the timed run:
-    the TPU tunnel in this environment memoizes identical (executable, args)
-    executions, so timing a repeat of the warmup call measures nothing.
+    Two quirks of this TPU tunnel demand care: (1) identical
+    (executable, args) executions are memoized, so every timed call uses a
+    distinct first token from its warmup; (2) each call carries a large
+    fixed dispatch overhead, so we time n-step and 2n-step runs and use the
+    difference — fixed overhead cancels, leaving pure per-step time.
     """
     logits, cache = eng.prefill(prompt)
     jax.block_until_ready(logits)
     first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     pos = jnp.asarray(prompt.shape[1], jnp.int32)
-
     vocab = eng.cfg.vocab_size
-    warm_first = (first + 1) % vocab
-    _, _ = eng._generate_fn(cache, eng.params, warm_first, pos, n_steps=steps)
 
-    t0 = time.perf_counter()
-    toks, _ = eng._generate_fn(cache, eng.params, first, pos, n_steps=steps)
-    jax.block_until_ready(toks)
-    dt = time.perf_counter() - t0
-    batch = prompt.shape[0]
-    return steps * batch / dt
+    def run(tok_offset: int, n: int) -> float:
+        tok = (first + tok_offset) % vocab
+        t0 = time.perf_counter()
+        toks, _ = eng._generate_fn(cache, eng.params, tok, pos, n_steps=n)
+        jax.block_until_ready(toks)
+        return time.perf_counter() - t0
+
+    run(1, steps)  # compile n
+    run(2, 2 * steps)  # compile 2n
+    t1 = min(run(3, steps), run(5, steps))
+    t2 = min(run(4, 2 * steps), run(6, 2 * steps))
+    per_step = max((t2 - t1) / steps, 1e-9)
+    return prompt.shape[0] / per_step
 
 
 def main():

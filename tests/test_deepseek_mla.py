@@ -1,0 +1,147 @@
+"""DeepSeek-V2 MLA model tests: decode oracle parity, latent compression,
+MoE routing, merge_value rejection."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xkv_tpu.configs import generate_consecutive_xkv_config
+from xkv_tpu.engine import InferenceEngine
+from xkv_tpu.models import deepseek
+from xkv_tpu.models.config import ModelConfig
+
+CFG = ModelConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=4,
+    num_q_heads=4,
+    num_kv_heads=4,
+    head_dim=16,
+    model_type="deepseek_v2",
+    q_lora_rank=None,
+    kv_lora_rank=32,
+    qk_rope_head_dim=8,
+    qk_nope_head_dim=16,
+    v_head_dim=16,
+)
+
+MOE_CFG = ModelConfig(
+    **{
+        **CFG.__dict__,
+        "n_routed_experts": 4,
+        "n_shared_experts": 1,
+        "num_experts_per_tok": 2,
+        "moe_intermediate_size": 32,
+        "first_k_dense_replace": 1,
+        "routed_scaling_factor": 1.0,
+        "norm_topk_prob": True,
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return deepseek.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def prompt():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, CFG.vocab_size, size=(2, 24)).astype(np.int32)
+
+
+def make_engine(params, mode, xkv=None, cfg=CFG, **kw):
+    kw.setdefault("cache_dtype", jnp.float32)
+    kw.setdefault("factor_dtype", jnp.float32)
+    kw.setdefault("tail_max", 12)
+    kw.setdefault("donate_cache", False)
+    return InferenceEngine(params, cfg, xkv=xkv, mode=mode, **kw)
+
+
+def latent_xkv(group_size=2, rank=32):
+    return generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers,
+        end_layer=CFG.num_layers - 1,
+        group_size=group_size,
+        rank_k=rank,
+        rank_v=None,
+        merge_value=False,
+        extra_kwargs={"svd_method": "exact"},
+    )
+
+
+def test_uncompressed_decode_matches_full_forward(params, prompt):
+    """Absorbed decode over the dense latent cache == stateless forward."""
+    eng = make_engine(params, "none")
+    logits_p, cache = eng.prefill(prompt)
+    tok = jnp.argmax(logits_p[:, -1, :], axis=-1).astype(jnp.int32)
+    logits_d, cache = eng.decode_step(
+        cache, tok[:, None], jnp.asarray(prompt.shape[1], jnp.int32)
+    )
+    full = np.concatenate([prompt, np.asarray(tok)[:, None]], axis=1)
+    logits_full, _ = deepseek.prefill(params, CFG, jnp.asarray(full))
+    np.testing.assert_allclose(
+        np.asarray(logits_d[:, -1]), np.asarray(logits_full[:, -1]),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_full_rank_factored_matches_uncompressed(params, prompt):
+    """rank == group_size * kv_lora_rank -> lossless factorization -> decode
+    must match the uncompressed baseline."""
+    xkv = latent_xkv(group_size=2, rank=2 * CFG.kv_lora_rank)
+    eng_f = make_engine(params, "factored", xkv)
+    eng_n = make_engine(params, "none")
+    out_f = np.asarray(eng_f.generate(prompt, max_new_tokens=5))
+    out_n = np.asarray(eng_n.generate(prompt, max_new_tokens=5))
+    np.testing.assert_array_equal(out_f, out_n)
+
+
+def test_lossy_latent_compression_runs(params, prompt):
+    xkv = latent_xkv(group_size=2, rank=24)
+    eng = make_engine(params, "factored", xkv)
+    _, cache = eng.prefill(prompt)
+    assert cache.groups[0].k_us is not None
+    assert cache.groups[0].v_us is None
+    # k_pe slot stays dense for every layer
+    assert set(cache.dense_v.keys()) == set(range(CFG.num_layers))
+    out = eng.generate(prompt, max_new_tokens=4)
+    assert np.asarray(out).shape == (2, 4)
+
+
+def test_merge_value_rejected(params):
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, merge_value=True,
+    )
+    with pytest.raises(ValueError, match="merge_value"):
+        make_engine(params, "factored", xkv)
+
+
+def test_moe_model_runs():
+    params = deepseek.init_params(MOE_CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, MOE_CFG.vocab_size, size=(1, 12)).astype(np.int32)
+    eng = make_engine(params, "none", cfg=MOE_CFG)
+    logits_p, cache = eng.prefill(prompt)
+    assert np.isfinite(np.asarray(logits_p)).all()
+    tok = jnp.argmax(logits_p[:, -1, :], axis=-1).astype(jnp.int32)
+    logits_d, _ = eng.decode_step(
+        cache, tok[:, None], jnp.asarray(prompt.shape[1], jnp.int32)
+    )
+    full = np.concatenate([prompt, np.asarray(tok)[:, None]], axis=1)
+    logits_full, _ = deepseek.prefill(params, MOE_CFG, jnp.asarray(full))
+    np.testing.assert_allclose(
+        np.asarray(logits_d[:, -1]), np.asarray(logits_full[:, -1]),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_compression_ratio_mla(params, prompt):
+    xkv = latent_xkv(group_size=2, rank=16)
+    _, cache = make_engine(params, "factored", xkv).prefill(prompt)
+    ratio = cache.compression_ratio(CFG)
+    assert ratio > 1.0

@@ -112,13 +112,22 @@ class XKVCache:
         """Dense-equivalent prefill KV elements / stored elements."""
         b = self.tail_k.shape[1]
         s_p = self.prefill_len
-        dense = 2 * cfg.num_layers * b * cfg.num_kv_heads * s_p * cfg.head_dim
+        if cfg.model_type == "deepseek_v2":
+            dense = cfg.num_layers * b * s_p * (cfg.kv_lora_rank + cfg.qk_rope_head_dim)
+        else:
+            dense = 2 * cfg.num_layers * b * cfg.num_kv_heads * s_p * cfg.head_dim
         return dense / max(self.num_cache_elements(), 1)
 
 
 def init_tail(
     cfg: ModelConfig, batch: int, t_max: int, dtype=jnp.bfloat16
 ) -> Tuple[jax.Array, jax.Array]:
+    if cfg.model_type == "deepseek_v2":
+        # MLA: K slot carries the shared latent (1 "head" of kv_lora_rank),
+        # V slot carries the small RoPE key (reference `deepseek_v2.py:214-232`).
+        k_shape = (cfg.num_layers, batch, 1, t_max, cfg.kv_lora_rank)
+        v_shape = (cfg.num_layers, batch, 1, t_max, cfg.qk_rope_head_dim)
+        return jnp.zeros(k_shape, dtype), jnp.zeros(v_shape, dtype)
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, t_max, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 

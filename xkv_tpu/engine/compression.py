@@ -61,6 +61,7 @@ def build_cache(
     fake: bool = False,
     factor_dtype=jnp.bfloat16,
     cache_dtype=jnp.bfloat16,
+    rope_dense_keys: bool = True,
 ) -> XKVCache:
     """Compress prefill K/V into the hybrid cache.
 
@@ -86,6 +87,10 @@ def build_cache(
     covered = set()
 
     def rope_dense_k(k_pre):
+        # MLA passes rope_dense_keys=False: its K slot is the RoPE-free
+        # latent (reference `deepseek_v2.py:224-227`, re_apply_rope=False).
+        if not rope_dense_keys:
+            return k_pre.astype(cache_dtype)
         return apply_rope(k_pre, cos_p[None], sin_p[None]).astype(cache_dtype)
 
     for grp in xkv.layer_groups:
@@ -176,12 +181,16 @@ def build_uncompressed_cache(
     sin_p: jax.Array,
     tail_max: int,
     cache_dtype=jnp.bfloat16,
+    rope_dense_keys: bool = True,
 ) -> XKVCache:
     """Baseline: dense post-RoPE cache for every layer (no compression)."""
-    dense_k = {
-        l: apply_rope(k, cos_p[None], sin_p[None]).astype(cache_dtype)
-        for l, (k, _) in enumerate(kvs)
-    }
+    if rope_dense_keys:
+        dense_k = {
+            l: apply_rope(k, cos_p[None], sin_p[None]).astype(cache_dtype)
+            for l, (k, _) in enumerate(kvs)
+        }
+    else:
+        dense_k = {l: k.astype(cache_dtype) for l, (k, _) in enumerate(kvs)}
     dense_v = {l: v.astype(cache_dtype) for l, (_, v) in enumerate(kvs)}
     batch = kvs[0][0].shape[0]
     tail_k, tail_v = init_tail(cfg, batch, tail_max, cache_dtype)

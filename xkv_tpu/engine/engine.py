@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from xkv_tpu.cache import XKVCache
 from xkv_tpu.configs import XKVConfig
 from xkv_tpu.engine.compression import build_cache, build_uncompressed_cache
-from xkv_tpu.models import llama
 from xkv_tpu.models.config import ModelConfig
 from xkv_tpu.ops.rope import rope_cos_sin
 
@@ -47,6 +46,19 @@ class InferenceEngine:
             raise ValueError(f"unknown mode {mode!r}")
         if mode != "none" and xkv is None:
             raise ValueError("xkv config required unless mode='none'")
+        if cfg.model_type == "deepseek_v2":
+            from xkv_tpu.models import deepseek as model_module
+
+            if xkv is not None and xkv.merge_value:
+                # reference deepseek_v2.py:222-223: only the latent is merged
+                raise ValueError(
+                    "DeepSeek MLA does not support merge_value (the V slot "
+                    "holds the uncompressed RoPE key); pass merge_value=False"
+                )
+        else:
+            from xkv_tpu.models import llama as model_module
+        self._model = model_module
+        self._rope_dense_keys = cfg.model_type != "deepseek_v2"
         # With a mesh, weights are TP/DP-sharded up front and GSPMD propagates
         # shardings through prefill/decode, inserting ICI collectives
         # (scaling-book recipe: annotate inputs, let XLA do the rest).
@@ -79,7 +91,7 @@ class InferenceEngine:
         )
 
     def _prefill_impl(self, params, tokens):
-        logits, kvs = llama.prefill(
+        logits, kvs = self._model.prefill(
             params, self.cfg, tokens, attention_impl=self.attention_impl
         )
         cos_p, sin_p = self._prefill_cos_sin(tokens.shape[1])
@@ -87,6 +99,7 @@ class InferenceEngine:
             cache = build_uncompressed_cache(
                 kvs, self.cfg, cos_p, sin_p, self.tail_max,
                 cache_dtype=self.cache_dtype,
+                rope_dense_keys=self._rope_dense_keys,
             )
         else:
             cache = build_cache(
@@ -99,12 +112,13 @@ class InferenceEngine:
                 fake=(self.mode == "fake"),
                 factor_dtype=self.factor_dtype,
                 cache_dtype=self.cache_dtype,
+                rope_dense_keys=self._rope_dense_keys,
             )
         return logits, cache
 
     def _decode_impl(self, cache, params, tokens, pos):
         cos_sin = self._prefill_cos_sin(cache.prefill_len)
-        return llama.decode_step(
+        return self._model.decode_step(
             params, self.cfg, self.xkv, cache, tokens, pos, cos_sin,
             attention_impl=self.attention_impl,
         )
@@ -112,18 +126,33 @@ class InferenceEngine:
     def _generate_impl(self, cache, params, first_token, start_pos, n_steps: int):
         cos_sin = self._prefill_cos_sin(cache.prefill_len)
 
+        # Only the mutable tail goes through the scan carry; the frozen
+        # factors / dense prefill segments are closed over, so XLA treats
+        # them as loop invariants instead of copying them every step.
         def body(carry, _):
-            cache, token, pos = carry
-            logits, cache = llama.decode_step(
-                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin,
+            tail_k, tail_v, tail_len, token, pos = carry
+            step_cache = cache.replace(
+                tail_k=tail_k, tail_v=tail_v, tail_len=tail_len
+            )
+            logits, step_cache = self._model.decode_step(
+                params, self.cfg, self.xkv, step_cache, token[:, None], pos, cos_sin,
                 attention_impl=self.attention_impl,
             )
             next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-            return (cache, next_tok, pos + 1), next_tok
+            carry = (
+                step_cache.tail_k,
+                step_cache.tail_v,
+                step_cache.tail_len,
+                next_tok,
+                pos + 1,
+            )
+            return carry, next_tok
 
-        (cache, _, _), toks = jax.lax.scan(
-            body, (cache, first_token, start_pos), None, length=n_steps
+        init = (cache.tail_k, cache.tail_v, cache.tail_len, first_token, start_pos)
+        (tail_k, tail_v, tail_len, _, _), toks = jax.lax.scan(
+            body, init, None, length=n_steps
         )
+        cache = cache.replace(tail_k=tail_k, tail_v=tail_v, tail_len=tail_len)
         return jnp.transpose(toks, (1, 0)), cache  # (b, n_steps)
 
     def _score_impl(self, cache, params, tokens, start_pos):
@@ -133,16 +162,24 @@ class InferenceEngine:
         cos_sin = self._prefill_cos_sin(cache.prefill_len)
 
         def body(carry, token):
-            cache, pos = carry
-            logits, cache = llama.decode_step(
-                params, self.cfg, self.xkv, cache, token[:, None], pos, cos_sin,
+            tail_k, tail_v, tail_len, pos = carry
+            step_cache = cache.replace(
+                tail_k=tail_k, tail_v=tail_v, tail_len=tail_len
+            )
+            logits, step_cache = self._model.decode_step(
+                params, self.cfg, self.xkv, step_cache, token[:, None], pos, cos_sin,
                 attention_impl=self.attention_impl,
             )
             logprobs = jax.nn.log_softmax(logits[:, -1, :], axis=-1)
-            return (cache, pos + 1), logprobs
+            carry = (
+                step_cache.tail_k, step_cache.tail_v, step_cache.tail_len, pos + 1
+            )
+            return carry, logprobs
 
         tokens_t = jnp.transpose(tokens, (1, 0))  # (steps, b)
-        (cache, _), logprobs = jax.lax.scan(body, (cache, start_pos), tokens_t)
+        init = (cache.tail_k, cache.tail_v, cache.tail_len, start_pos)
+        (tail_k, tail_v, tail_len, _), logprobs = jax.lax.scan(body, init, tokens_t)
+        cache = cache.replace(tail_k=tail_k, tail_v=tail_v, tail_len=tail_len)
         return jnp.transpose(logprobs, (1, 0, 2)), cache  # (b, steps, vocab)
 
     # ------------------------------------------------------------ public API
