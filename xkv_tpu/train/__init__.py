@@ -1,0 +1,8 @@
+from xkv_tpu.train.compressors import (  # noqa: F401
+    ConvCompressor,
+    Dual1DConvCompressor,
+    VAEConvCompressor,
+    IdentityCompressor,
+    make_compressor,
+)
+from xkv_tpu.train.trainer import CompressorTrainer, TrainConfig  # noqa: F401
