@@ -81,7 +81,9 @@ def measure_decode(eng, prompt, steps: int) -> float:
         tok = (first + tok_offset) % vocab
         t0 = time.perf_counter()
         toks, _ = eng._generate_fn(cache, eng.params, tok, pos, n_steps=n)
-        jax.block_until_ready(toks)
+        # device_get, not block_until_ready: over the axon tunnel only a
+        # real transfer waits for remote execution to finish.
+        jax.device_get(toks)
         return time.perf_counter() - t0
 
     run(1, steps)  # compile n

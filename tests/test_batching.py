@@ -1,0 +1,104 @@
+"""Continuous-batching scheduler tests: parity with the single-sequence
+engine, mixed lengths, slot reuse, EOS retirement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xkv_tpu.configs import generate_consecutive_xkv_config
+from xkv_tpu.engine import InferenceEngine
+from xkv_tpu.engine.batching import BatchedEngine
+from xkv_tpu.models.config import tiny_llama_config
+from xkv_tpu.models.llama import init_params
+
+CFG = tiny_llama_config()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def xkv_cfg():
+    return generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24, extra_kwargs={"svd_method": "exact"},
+    )
+
+
+def reference_outputs(params, prompts, n_new, xkv=None):
+    mode = "factored" if xkv is not None else "none"
+    outs = []
+    for p in prompts:
+        eng = InferenceEngine(
+            params, CFG, xkv=xkv, mode=mode, tail_max=n_new + 2,
+            cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+            donate_cache=False,
+        )
+        outs.append(np.asarray(eng.generate(p[None, :], n_new))[0].tolist())
+    return outs
+
+
+def test_batched_matches_single_sequence_uncompressed(params):
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=(n,)).astype(np.int32)
+        for n in (12, 19, 7)
+    ]
+    n_new = 5
+    expected = reference_outputs(params, prompts, n_new)
+
+    be = BatchedEngine(
+        params, CFG, xkv=None, num_slots=2, s_max=24, tail_max=8,
+        prefill_buckets=[8, 16, 24],
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    done = be.run()
+    by_id = {r.request_id: r.generated for r in done}
+    assert sorted(by_id.keys()) == sorted(ids)
+    for rid, p_exp in zip(ids, expected):
+        assert by_id[rid] == p_exp, f"request {rid}: {by_id[rid]} != {p_exp}"
+
+
+def test_batched_matches_single_sequence_factored(params):
+    rng = np.random.default_rng(1)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=(n,)).astype(np.int32)
+        for n in (16, 16)
+    ]
+    n_new = 4
+    xkv = xkv_cfg()
+    expected = reference_outputs(params, prompts, n_new, xkv=xkv)
+
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16],
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    done = be.run()
+    by_id = {r.request_id: r.generated for r in done}
+    for rid, p_exp in zip(ids, expected):
+        assert by_id[rid] == p_exp
+
+
+def test_more_requests_than_slots(params):
+    """Slot reuse: 5 requests through 2 slots."""
+    rng = np.random.default_rng(2)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=(10,)).astype(np.int32)
+        for _ in range(5)
+    ]
+    be = BatchedEngine(
+        params, CFG, xkv=None, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16],
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+    )
+    for p in prompts:
+        be.submit(p, 3)
+    done = be.run()
+    assert len(done) == 5
+    assert all(len(r.generated) == 3 for r in done)

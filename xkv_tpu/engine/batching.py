@@ -1,0 +1,320 @@
+"""Continuous batching: slot-based scheduler over the factored cache.
+
+The reference evaluates one sample at a time per rank
+(`evaluate/evaluator.py:63-69`); the TPU build adds a serving layer (north
+star: "continuous batching", BASELINE.json) built the XLA-friendly way:
+
+  * B fixed decode *slots*; all shapes static.
+  * Admission: a new request is prefilled alone (compiled per length
+    bucket), its compressed cache is written into its slot at a fixed
+    s_max padding; per-slot valid lengths mask attention.
+  * One jitted ``decode_step_batched`` advances every active slot per step;
+    finished slots (EOS / max tokens) free immediately and the next queued
+    request is admitted — no batch-wide barrier.
+
+Greedy decoding (the reference's eval setting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xkv_tpu.cache import GroupFactors, XKVCache, init_tail
+from xkv_tpu.configs import XKVConfig
+from xkv_tpu.engine.compression import build_cache
+from xkv_tpu.models import llama
+from xkv_tpu.models.config import ModelConfig
+from xkv_tpu.ops.rope import rope_cos_sin
+
+
+@dataclass
+class Request:
+    request_id: int
+    tokens: np.ndarray  # (s,) prompt
+    max_new_tokens: int
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+def _pad_to(arr: jax.Array, size: int, axis: int) -> jax.Array:
+    pad = size - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+class BatchedEngine:
+    """Slot-based continuous batching over the hybrid factored cache."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        xkv: Optional[XKVConfig],
+        num_slots: int = 4,
+        s_max: int = 2048,
+        tail_max: int = 128,
+        prefill_buckets: Optional[List[int]] = None,
+        attention_impl: str = "xla",
+        eos_token_id: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+        factor_dtype=jnp.bfloat16,
+    ):
+        if cfg.model_type == "deepseek_v2":
+            raise NotImplementedError("batched serving: llama family first")
+        self.params = params
+        self.cfg = cfg
+        self.xkv = xkv
+        self.num_slots = num_slots
+        self.s_max = s_max
+        self.tail_max = tail_max
+        self.attention_impl = attention_impl
+        self.eos_token_id = eos_token_id
+        self.cache_dtype = cache_dtype
+        self.factor_dtype = factor_dtype
+        self.prefill_buckets = sorted(prefill_buckets or [s_max])
+
+        self.batch_cache = self._empty_batch_cache()
+        self.prefill_len = np.zeros(num_slots, np.int32)
+        self.tail_len = np.zeros(num_slots, np.int32)
+        self.pos = np.zeros(num_slots, np.int32)
+        self.token = np.zeros(num_slots, np.int32)
+        self.slot_request: Dict[int, Request] = {}
+
+        self.queue: List[Request] = []
+        self._next_id = 0
+
+        self._cos_sin = rope_cos_sin(
+            jnp.arange(self.s_max), cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
+        )
+        self._prefill_jit: Dict[int, any] = {}
+        self._step_jit = jax.jit(self._step_impl)
+        self._insert_jit = jax.jit(self._insert_impl, static_argnames=("s_bucket",))
+
+    # ------------------------------------------------------------ structure
+    def _empty_batch_cache(self) -> XKVCache:
+        cfg, xkv = self.cfg, self.xkv
+        B, S = self.num_slots, self.s_max
+        hkv, hd = cfg.num_kv_heads, cfg.head_dim
+        groups = []
+        dense_k, dense_v = {}, {}
+        covered = set()
+        if xkv is not None:
+            for grp in xkv.layer_groups:
+                covered.update(grp.layers)
+                g = len(grp.layers)
+                kw = {}
+                if xkv.layer_merge_impl == "svd" and xkv.merge_key:
+                    kw["k_us"] = jnp.zeros((B, S, grp.rank_k), self.factor_dtype)
+                    kw["k_vt"] = jnp.zeros(
+                        (B, grp.rank_k, g * hkv * hd), self.factor_dtype
+                    )
+                else:
+                    for l in grp.layers:
+                        dense_k[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
+                if xkv.layer_merge_impl == "svd" and xkv.merge_value:
+                    kw["v_us"] = jnp.zeros((B, S, grp.rank_v), self.factor_dtype)
+                    kw["v_vt"] = jnp.zeros(
+                        (B, grp.rank_v, g * hkv * hd), self.factor_dtype
+                    )
+                else:
+                    for l in grp.layers:
+                        dense_v[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
+                groups.append(GroupFactors(**kw))
+        for l in range(cfg.num_layers):
+            if l not in covered:
+                dense_k[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
+                dense_v[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
+        tail_k, tail_v = init_tail(cfg, B, self.tail_max, self.cache_dtype)
+        return XKVCache(
+            groups=tuple(groups),
+            dense_k=dense_k,
+            dense_v=dense_v,
+            tail_k=tail_k,
+            tail_v=tail_v,
+            tail_len=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------ admission
+    def _prefill_one(self, tokens: np.ndarray):
+        """Single-sequence prefill + compress at a bucketed length."""
+        s = tokens.shape[-1]
+        bucket = next((b for b in self.prefill_buckets if b >= s), None)
+        if bucket is None:
+            raise ValueError(f"prompt length {s} exceeds s_max={self.s_max}")
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :s] = tokens
+        # NOTE: right-padding would corrupt causal prefill for the padded
+        # region only; the valid region [0, s) attends only within itself,
+        # so its K/V and logits are exact. We keep factors from the first
+        # ``s`` rows... however SVD over padded rows would fold garbage into
+        # the factors, so the compression runs on the *unpadded* length by
+        # bucketing the SVD input to s (dynamic work lives outside jit).
+        if bucket not in self._prefill_jit:
+            def fn(params, toks, true_len):
+                logits, kvs = llama.prefill(
+                    params, self.cfg, toks, attention_impl=self.attention_impl
+                )
+                return logits, kvs
+
+            self._prefill_jit[bucket] = jax.jit(fn)
+        logits, kvs = self._prefill_jit[bucket](
+            self.params, jnp.asarray(padded), s
+        )
+        # Trim to true length before compression so factors see no padding.
+        kvs = [(k[:, :, :s], v[:, :, :s]) for k, v in kvs]
+        cos_p, sin_p = (x[:s] for x in self._cos_sin)
+        if self.xkv is not None:
+            cache1 = build_cache(
+                kvs, self.xkv, self.cfg, cos_p, sin_p, tail_max=1,
+                factor_dtype=self.factor_dtype, cache_dtype=self.cache_dtype,
+            )
+        else:
+            from xkv_tpu.engine.compression import build_uncompressed_cache
+
+            cache1 = build_uncompressed_cache(
+                kvs, self.cfg, cos_p, sin_p, tail_max=1,
+                cache_dtype=self.cache_dtype,
+            )
+        first_token = int(np.argmax(np.asarray(logits[0, s - 1])))
+        return cache1, first_token, s
+
+    def _insert_impl(self, batch_cache: XKVCache, cache1: XKVCache, slot: int,
+                     s_bucket: int):
+        """Write one sequence's padded cache into its slot."""
+
+        def ins(dst, src):
+            src = _pad_to(src, self.s_max, axis=-2 if src.ndim == 4 else 1)
+            return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=0)
+
+        groups = []
+        for gd, gs in zip(batch_cache.groups, cache1.groups):
+            groups.append(
+                GroupFactors(
+                    k_us=None if gd.k_us is None else jax.lax.dynamic_update_slice_in_dim(
+                        gd.k_us, _pad_to(gs.k_us, self.s_max, 1), slot, axis=0
+                    ),
+                    k_vt=None if gd.k_vt is None else jax.lax.dynamic_update_slice_in_dim(
+                        gd.k_vt, gs.k_vt, slot, axis=0
+                    ),
+                    v_us=None if gd.v_us is None else jax.lax.dynamic_update_slice_in_dim(
+                        gd.v_us, _pad_to(gs.v_us, self.s_max, 1), slot, axis=0
+                    ),
+                    v_vt=None if gd.v_vt is None else jax.lax.dynamic_update_slice_in_dim(
+                        gd.v_vt, gs.v_vt, slot, axis=0
+                    ),
+                )
+            )
+        dense_k = {
+            l: jax.lax.dynamic_update_slice_in_dim(
+                batch_cache.dense_k[l], _pad_to(cache1.dense_k[l], self.s_max, 2),
+                slot, axis=0,
+            )
+            for l in batch_cache.dense_k
+        }
+        dense_v = {
+            l: jax.lax.dynamic_update_slice_in_dim(
+                batch_cache.dense_v[l], _pad_to(cache1.dense_v[l], self.s_max, 2),
+                slot, axis=0,
+            )
+            for l in batch_cache.dense_v
+        }
+        # reset the slot's tail
+        tail_k = batch_cache.tail_k.at[:, slot].set(0)
+        tail_v = batch_cache.tail_v.at[:, slot].set(0)
+        return batch_cache.replace(
+            groups=tuple(groups), dense_k=dense_k, dense_v=dense_v,
+            tail_k=tail_k, tail_v=tail_v,
+        )
+
+    # ------------------------------------------------------------ stepping
+    def _step_impl(self, batch_cache, params, token, pos, prefill_len, tail_len):
+        logits, batch_cache = llama.decode_step_batched(
+            params, self.cfg, self.xkv, batch_cache,
+            token, pos, prefill_len, tail_len, self._cos_sin,
+            attention_impl=self.attention_impl,
+        )
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return next_tok, batch_cache
+
+    # ------------------------------------------------------------ public API
+    def submit(self, tokens, max_new_tokens: int) -> int:
+        req = Request(self._next_id, np.asarray(tokens, np.int32).reshape(-1),
+                      max_new_tokens)
+        self._next_id += 1
+        self.queue.append(req)
+        return req.request_id
+
+    def _free_slots(self) -> List[int]:
+        return [i for i in range(self.num_slots) if i not in self.slot_request]
+
+    def _admit(self):
+        for slot in self._free_slots():
+            if not self.queue:
+                break
+            req = self.queue.pop(0)
+            cache1, first_token, s = self._prefill_one(req.tokens)
+            self.batch_cache = self._insert_jit(
+                self.batch_cache, cache1, slot, s_bucket=s
+            )
+            req.generated.append(first_token)
+            self.slot_request[slot] = req
+            self.prefill_len[slot] = s
+            self.tail_len[slot] = 0
+            self.pos[slot] = s
+            self.token[slot] = first_token
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slot_request.get(slot)
+        if req is None:
+            return
+        last = req.generated[-1]
+        if (
+            len(req.generated) >= req.max_new_tokens
+            or (self.eos_token_id is not None and last == self.eos_token_id)
+            or self.tail_len[slot] >= self.tail_max - 1
+        ):
+            req.done = True
+            del self.slot_request[slot]
+
+    def step(self) -> List[Request]:
+        """Admit queued requests, run one decode step, return newly finished
+        requests."""
+        self._admit()
+        if not self.slot_request:
+            return []
+        next_tok, self.batch_cache = self._step_jit(
+            self.batch_cache,
+            self.params,
+            jnp.asarray(self.token),
+            jnp.asarray(self.pos),
+            jnp.asarray(self.prefill_len),
+            jnp.asarray(self.tail_len),
+        )
+        next_tok = np.asarray(next_tok)
+        finished = []
+        for slot, req in list(self.slot_request.items()):
+            self.tail_len[slot] += 1
+            self.pos[slot] += 1
+            tok = int(next_tok[slot])
+            req.generated.append(tok)
+            self.token[slot] = tok
+            self._maybe_finish(slot)
+            if req.done:
+                finished.append(req)
+        return finished
+
+    def run(self) -> List[Request]:
+        """Drain the queue; returns all finished requests."""
+        done: List[Request] = []
+        while self.queue or self.slot_request:
+            done.extend(self.step())
+        return done

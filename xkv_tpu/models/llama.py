@@ -223,7 +223,10 @@ def decode_step(
                 cos_p,
                 sin_p,
             )
-            if attention_impl == "pallas" and ql == 1:
+            # Mosaic requires lane-aligned head_dim for the in-kernel
+            # (block_s, hkv*hd) -> (block_s, hkv, hd) reshape.
+            pallas_ok = cfg.head_dim % 128 == 0
+            if attention_impl == "pallas" and ql == 1 and pallas_ok:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention,
                 )
@@ -281,3 +284,117 @@ def decode_step(
 
     logits = unembed(params, cfg, h)
     return logits, cache.advance(ql)
+
+
+# ----------------------------------------------------------- batched decode
+def decode_step_batched(
+    params: Params,
+    cfg: ModelConfig,
+    xkv: Optional[XKVConfig],
+    cache: XKVCache,
+    tokens: jax.Array,       # (B,) one token per slot
+    pos: jax.Array,          # (B,) absolute position per slot
+    prefill_len: jax.Array,  # (B,) valid prefill length per slot
+    tail_len: jax.Array,     # (B,) tail fill per slot
+    prefill_cos_sin: Tuple[jax.Array, jax.Array],
+    attention_impl: str = "xla",
+) -> Tuple[jax.Array, XKVCache]:
+    """One decode step across B independent slots (continuous batching).
+
+    Unlike ``decode_step``, every slot has its own position, prefill length
+    (factors are padded to a common s_max), and tail fill level. Inactive
+    slots simply produce garbage logits the scheduler ignores.
+    """
+    b = tokens.shape[0]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    positions = pos[:, None]  # (B, 1)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos_p, sin_p = prefill_cos_sin
+
+    grp_index = layer_group_index(xkv) if xkv is not None else {}
+
+    h = params["embed"][tokens[:, None]]
+    for li, layer in enumerate(params["layers"]):
+        resid = h
+        x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
+        q, k_new_pre, v_new = qkv_proj(layer["attn"], cfg, x)
+        q = apply_rope(q, cos, sin)
+        k_new = apply_rope(k_new_pre, cos, sin)
+
+        # per-slot tail write at tail_len[b] (k_new/v_new: (B, hkv, 1, hd))
+        tk = jax.vmap(
+            lambda t, n, i: jax.lax.dynamic_update_slice(t, n.astype(t.dtype), (0, i, 0))
+        )(cache.tail_k[li], k_new, tail_len)
+        tv = jax.vmap(
+            lambda t, n, i: jax.lax.dynamic_update_slice(t, n.astype(t.dtype), (0, i, 0))
+        )(cache.tail_v[li], v_new, tail_len)
+        cache = cache.replace(
+            tail_k=cache.tail_k.at[li].set(tk), tail_v=cache.tail_v.at[li].set(tv)
+        )
+
+        parts: List[PartialAttention] = []
+        grp_info = grp_index.get(li)
+        gf = cache.groups[grp_info[0]] if grp_info is not None else None
+        use_f = gf is not None and gf.k_us is not None and gf.v_us is not None
+        if use_f:
+            gi, gpos = grp_info
+            fargs = (
+                q,
+                gf.k_us,
+                vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                gf.v_us,
+                vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                cos_p,
+                sin_p,
+            )
+            if attention_impl == "pallas" and cfg.head_dim % 128 == 0:
+                from xkv_tpu.ops.pallas.lowrank_attention import (
+                    lowrank_decode_attention,
+                )
+
+                out_f, lse_f = lowrank_decode_attention(
+                    *fargs, prefill_len,
+                    scale=scale, num_kv_heads=cfg.num_kv_heads,
+                )
+                parts.append(PartialAttention(out=out_f, lse=lse_f))
+            else:
+                from xkv_tpu.ops.attention import (
+                    attention_partial,
+                    reconstruct_group_heads,
+                )
+
+                k_pre = reconstruct_group_heads(
+                    gf.k_us, fargs[2], cfg.num_kv_heads
+                )
+                k_f = apply_rope(k_pre, cos_p[None], sin_p[None]).astype(q.dtype)
+                v_f = reconstruct_group_heads(
+                    gf.v_us, fargs[4], cfg.num_kv_heads
+                ).astype(q.dtype)
+                mask = (
+                    jnp.arange(k_f.shape[2])[None, :] < prefill_len[:, None]
+                )[:, None, None, :]
+                parts.append(attention_partial(q, k_f, v_f, scale, mask))
+        else:
+            from xkv_tpu.ops.attention import attention_partial
+
+            k_pf = cache.dense_k[li]
+            v_pf = cache.dense_v[li]
+            mask = (
+                jnp.arange(k_pf.shape[2])[None, :] < prefill_len[:, None]
+            )[:, None, None, :]
+            parts.append(attention_partial(q, k_pf, v_pf, scale, mask))
+
+        valid = (tail_len + 1)[:, None]
+        parts.append(
+            dense_decode_attention_xla(
+                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid
+            )
+        )
+
+        attn = merge_partials(*parts).astype(h.dtype)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, -1)
+        h = resid + attn @ layer["attn"]["wo"]
+        h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
+
+    logits = unembed(params, cfg, h)
+    return logits[:, 0], cache

@@ -52,6 +52,7 @@ def _rotate_half(x):
 def _lowrank_kernel(
     q_ref,  # (1, hq, hkv*hd)  queries block-diagonally embedded (see wrapper)
     head_mask_ref,  # (hq, hkv*hd)  1.0 on own head's columns, else 0.0
+    len_ref,  # (1, 1) int32 in SMEM — this sequence's valid prefill length
     k_us_ref,  # (1, block_s, rk)
     k_vt_ref,  # (1, rk, hkv*hd)
     v_us_ref,  # (1, block_s, rv)
@@ -66,7 +67,6 @@ def _lowrank_kernel(
     *,
     scale: float,
     block_s: int,
-    s_total: int,
     hkv: int,
     hd: int,
 ):
@@ -110,7 +110,7 @@ def _lowrank_kernel(
     s = s * scale
     col_mask = (
         si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
-    ) < s_total
+    ) < len_ref[0, 0]
     s = jnp.where(col_mask, s, NEG_INF)
 
     # ---- online softmax over all hq rows at once ----
@@ -119,7 +119,9 @@ def _lowrank_kernel(
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
+    # Explicit zero for masked columns: in a fully-masked block
+    # exp(NEG_INF - NEG_INF) would be 1, polluting l and t.
+    p = jnp.where(col_mask, jnp.exp(s - m_next), 0.0)
     l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
     l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
@@ -163,6 +165,7 @@ def lowrank_decode_attention(
     v_vt_slice: jax.Array,  # (b, rv, hkv*hd)
     cos_p: jax.Array,  # (s_p, hd)
     sin_p: jax.Array,  # (s_p, hd)
+    lengths: Optional[jax.Array] = None,  # (b,) valid prefill length per seq
     *,
     scale: float,
     num_kv_heads: int,
@@ -201,11 +204,14 @@ def lowrank_decode_attention(
     head_mask = (head_ids[:, None] == col_head[None, :]).astype(q.dtype)  # (hq, m)
     q_emb = jnp.tile(q3, (1, 1, hkv)) * head_mask[None]  # (b, hq, hkv*hd)
 
+    if lengths is None:
+        lengths = jnp.full((b,), s_p, jnp.int32)
+    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+
     kernel = functools.partial(
         _lowrank_kernel,
         scale=scale,
         block_s=block_s,
-        s_total=s_p,
         hkv=hkv,
         hd=hd,
     )
@@ -220,6 +226,7 @@ def lowrank_decode_attention(
         in_specs=[
             pl.BlockSpec((1, hq, hkv * hd), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((hq, hkv * hd), lambda bi, si: (0, 0)),
+            pl.BlockSpec((1, 1), lambda bi, si: (bi, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
             pl.BlockSpec((1, rk, hkv * hd), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
@@ -243,6 +250,6 @@ def lowrank_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_emb, head_mask, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p)
+    )(q_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p)
 
     return out[:, :, None, :], lse[:, 0, :, None]
