@@ -102,6 +102,8 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--attention-impl", default=None, choices=["xla", "pallas"])
+    ap.add_argument("--factor-dtype", default="int8", choices=["bf16", "int8"],
+                    help="low-rank factor storage (int8 = quantized cache)")
     args = ap.parse_args()
 
     from xkv_tpu.engine import InferenceEngine
@@ -118,9 +120,13 @@ def main():
 
     cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail, args.batch)
 
+    import jax.numpy as jnp
+
+    factor_dtype = "int8" if args.factor_dtype == "int8" else jnp.bfloat16
     eng_fact = InferenceEngine(
         params, cfg, xkv=xkv, mode="factored", tail_max=tail,
         attention_impl=attention_impl, donate_cache=False,
+        factor_dtype=factor_dtype,
     )
     tps_fact = measure_decode(eng_fact, prompt, steps)
 
@@ -134,7 +140,8 @@ def main():
         json.dumps(
             {
                 "metric": f"decode tokens/s/chip @ {ctx} ctx, 8x KV compression "
-                f"({kind} geometry, {cfg.num_layers} layers, {attention_impl})",
+                f"({kind} geometry, {cfg.num_layers} layers, {attention_impl}, "
+                f"{args.factor_dtype} factors)",
                 "value": round(tps_fact, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(tps_fact / tps_none, 3),

@@ -161,8 +161,9 @@ def test_compression_ratio_accounting(params, prompt):
     g_cols = 2 * CFG.num_kv_heads * CFG.head_dim
     per_group = 2 * (b * s * rank + b * rank * g_cols)  # K and V factors
     expected_elems = per_group * (CFG.num_layers // 2)
-    assert cache.num_cache_elements() == expected_elems
+    assert cache.num_cache_bytes() == expected_elems * 4  # fp32 factors in tests
     dense = 2 * CFG.num_layers * b * CFG.num_kv_heads * s * CFG.head_dim
+    # dense reference also at the cache dtype (fp32 here) -> same ratio
     assert abs(cache.compression_ratio(CFG) - dense / expected_elems) < 1e-6
 
 
@@ -239,3 +240,45 @@ def test_pallas_attention_impl_matches_xla(params, prompt):
         )
         tok = jnp.argmax(ox[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         pos = pos + 1
+
+
+def test_int8_factors_close_to_fp32(params, prompt):
+    """Quantized factor cache: decode logits within int8 tolerance of the
+    fp32 factored path; compression ratio doubles."""
+    cfg = xkv_cfg(group_size=2, rank_k=24, rank_v=24)
+    eng_f = make_engine(params, "factored", cfg)
+    eng_q = make_engine(params, "factored", cfg, factor_dtype="int8")
+
+    lf, cf = eng_f.prefill(prompt)
+    lq, cq = eng_q.prefill(prompt)
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lq))  # prefill clean
+
+    assert cq.groups[0].k_us.dtype == jnp.int8
+    assert cq.groups[0].k_scale is not None
+    # int8 halves factor bytes vs fp32... ratio should be ~4x the fp32 one
+    # (fp32 factors are 4B vs int8 1B + small scales)
+    assert cq.compression_ratio(CFG) > 2 * cf.compression_ratio(CFG)
+
+    tok = jnp.argmax(lf[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    of, cf = eng_f.decode_step(cf, tok, pos)
+    oq, cq = eng_q.decode_step(cq, tok, pos)
+    # int8 quantization error on logits: loose but meaningful bound
+    err = np.max(np.abs(np.asarray(of) - np.asarray(oq)))
+    ref = np.max(np.abs(np.asarray(of)))
+    assert err < 0.1 * ref + 0.3, f"int8 drift too large: {err} vs {ref}"
+
+
+def test_int8_pallas_matches_int8_xla(params, prompt):
+    cfg = xkv_cfg(group_size=2, rank_k=16, rank_v=16)
+    eng_x = make_engine(params, "factored", cfg, factor_dtype="int8")
+    eng_p = make_engine(
+        params, "factored", cfg, factor_dtype="int8", attention_impl="pallas"
+    )
+    lx, cx = eng_x.prefill(prompt)
+    lp, cp = eng_p.prefill(prompt)
+    tok = jnp.argmax(lx[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    ox, _ = eng_x.decode_step(cx, tok, pos)
+    op, _ = eng_p.decode_step(cp, tok, pos)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox), rtol=5e-3, atol=5e-3)

@@ -35,12 +35,18 @@ from xkv_tpu.models.config import ModelConfig
 @struct.dataclass
 class GroupFactors:
     """Low-rank factors for one layer group. Fields are None when the
-    corresponding side (K or V) is not merged."""
+    corresponding side (K or V) is not merged.
+
+    When int8-quantized (compress/quant.py): k_us/k_vt are int8 with the
+    post-GEMM column scale in ``k_scale``; v_us is int8 with its per-rank
+    scale in ``v_scale`` (v_vt stays bf16)."""
 
     k_us: Optional[jax.Array] = None  # (b, s_p, rk)
     k_vt: Optional[jax.Array] = None  # (b, rk, g*hkv*hd)
     v_us: Optional[jax.Array] = None  # (b, s_p, rv)
     v_vt: Optional[jax.Array] = None  # (b, rv, g*hkv*hd)
+    k_scale: Optional[jax.Array] = None  # (b, 1, g*hkv*hd) fp32 (int8 only)
+    v_scale: Optional[jax.Array] = None  # (b, 1, rv) fp32 (int8 only)
 
 
 @struct.dataclass
@@ -95,28 +101,30 @@ class XKVCache:
         return self.replace(tail_len=self.tail_len + n)
 
     # ------------------------------------------------------------- memory
-    def num_cache_elements(self) -> int:
-        """Total array elements held for prefill KV (factors + dense),
+    def num_cache_bytes(self) -> int:
+        """Bytes held for prefill KV (factors incl. scales + dense),
         excluding the tail (which exists in both compressed and baseline)."""
-        total = 0
+        total_bytes = 0
         for g in self.groups:
-            for f in (g.k_us, g.k_vt, g.v_us, g.v_vt):
+            for f in (g.k_us, g.k_vt, g.v_us, g.v_vt, g.k_scale, g.v_scale):
                 if f is not None:
-                    total += f.size
+                    total_bytes += f.size * f.dtype.itemsize
         for d in (self.dense_k, self.dense_v):
             for arr in d.values():
-                total += arr.size
-        return total
+                total_bytes += arr.size * arr.dtype.itemsize
+        return total_bytes
 
     def compression_ratio(self, cfg: ModelConfig) -> float:
-        """Dense-equivalent prefill KV elements / stored elements."""
+        """Dense-cache bytes (at the engine's cache dtype) / stored bytes.
+        Int8 factor quantization therefore shows up as extra compression."""
         b = self.tail_k.shape[1]
         s_p = self.prefill_len
         if cfg.model_type == "deepseek_v2":
             dense = cfg.num_layers * b * s_p * (cfg.kv_lora_rank + cfg.qk_rope_head_dim)
         else:
             dense = 2 * cfg.num_layers * b * cfg.num_kv_heads * s_p * cfg.head_dim
-        return dense / max(self.num_cache_elements(), 1)
+        dense_bytes = dense * self.tail_k.dtype.itemsize
+        return dense_bytes / max(self.num_cache_bytes(), 1)
 
 
 def init_tail(

@@ -50,6 +50,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="tensor-parallel width of the device mesh")
     parser.add_argument("--svd_method", type=str, default="randomized",
                         choices=["exact", "randomized"])
+    parser.add_argument("--factor_dtype", type=str, default="bf16",
+                        choices=["bf16", "fp32", "int8"],
+                        help="low-rank factor storage dtype (int8 = quantized)")
     return parser
 
 
@@ -120,6 +123,10 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
         from xkv_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(model=args.mesh_model)
+    factor_dtype = {
+        "bf16": jnp.bfloat16, "fp32": jnp.float32, "int8": "int8"
+    }[getattr(args, "factor_dtype", "bf16")]
+    kw.setdefault("factor_dtype", factor_dtype)
     return InferenceEngine(
         params, cfg, xkv=xkv, mode=mode, tail_max=tail_max,
         attention_impl=attention_impl, mesh=mesh, **kw,

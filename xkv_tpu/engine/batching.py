@@ -69,6 +69,10 @@ class BatchedEngine:
     ):
         if cfg.model_type == "deepseek_v2":
             raise NotImplementedError("batched serving: llama family first")
+        if factor_dtype in ("int8", jnp.int8):
+            raise NotImplementedError(
+                "int8 factors in batched serving: use the single-stream engine"
+            )
         self.params = params
         self.cfg = cfg
         self.xkv = xkv

@@ -100,6 +100,7 @@ def build_cache(
         vs = [kvs[l][1] for l in layers]
 
         if xkv.layer_merge_impl == "svd":
+            quantize = factor_dtype in ("int8", jnp.int8)
             gf_kwargs = {}
             if xkv.merge_key:
                 k_mat = _stack_group_matrix(ks)  # (b, s, g*hkv*hd) — fp32 in factorize
@@ -110,6 +111,13 @@ def build_cache(
                     )
                     for l, kr in zip(layers, k_rec):
                         dense_k[l] = rope_dense_k(kr)
+                elif quantize:
+                    from xkv_tpu.compress.quant import quantize_k_factors
+
+                    qk = quantize_k_factors(fac_k.us, fac_k.vt)
+                    gf_kwargs["k_us"] = qk.us_q
+                    gf_kwargs["k_vt"] = qk.vt_q
+                    gf_kwargs["k_scale"] = qk.out_scale
                 else:
                     gf_kwargs["k_us"] = fac_k.us.astype(factor_dtype)
                     gf_kwargs["k_vt"] = fac_k.vt.astype(factor_dtype)
@@ -125,6 +133,13 @@ def build_cache(
                     )
                     for l, vr in zip(layers, v_rec):
                         dense_v[l] = vr.astype(cache_dtype)
+                elif quantize:
+                    from xkv_tpu.compress.quant import quantize_v_factors
+
+                    qv = quantize_v_factors(fac_v.us, fac_v.vt)
+                    gf_kwargs["v_us"] = qv.us_q
+                    gf_kwargs["v_vt"] = qv.vt
+                    gf_kwargs["v_scale"] = qv.rank_scale
                 else:
                     gf_kwargs["v_us"] = fac_v.us.astype(factor_dtype)
                     gf_kwargs["v_vt"] = fac_v.vt.astype(factor_dtype)

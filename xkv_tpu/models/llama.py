@@ -214,6 +214,10 @@ def decode_step(
             use_factored_k = gf.k_us is not None
             use_factored_v = gf.v_us is not None
         if use_factored_k and use_factored_v:
+            k_scale_slice = (
+                None if gf.k_scale is None
+                else vt_layer_slice(gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim)
+            )
             factored_args = (
                 q,
                 gf.k_us,
@@ -232,13 +236,19 @@ def decode_step(
                 )
 
                 out_f, lse_f = lowrank_decode_attention(
-                    *factored_args, scale=scale, num_kv_heads=cfg.num_kv_heads
+                    *factored_args,
+                    k_scale_slice=k_scale_slice,
+                    v_rank_scale=gf.v_scale,
+                    scale=scale,
+                    num_kv_heads=cfg.num_kv_heads,
                 )
                 parts.append(PartialAttention(out=out_f, lse=lse_f))
             else:
                 parts.append(
                     factored_decode_attention_xla(
-                        *factored_args, scale, cfg.num_kv_heads
+                        *factored_args, scale, cfg.num_kv_heads,
+                        k_scale_slice=k_scale_slice,
+                        v_rank_scale=gf.v_scale,
                     )
                 )
         else:
@@ -246,11 +256,18 @@ def decode_step(
             if use_factored_k:
                 from xkv_tpu.ops.attention import reconstruct_group_heads
 
+                k_scale_slice = (
+                    None if gf.k_scale is None
+                    else vt_layer_slice(
+                        gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim
+                    )
+                )
                 k_prefill = apply_rope(
                     reconstruct_group_heads(
                         gf.k_us,
                         vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
                         cfg.num_kv_heads,
+                        out_scale=k_scale_slice,
                     ),
                     cos_p[None],
                     sin_p[None],
@@ -264,6 +281,7 @@ def decode_step(
                     gf.v_us,
                     vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
                     cfg.num_kv_heads,
+                    rank_scale=gf.v_scale,
                 ).astype(q.dtype)
             else:
                 v_prefill = cache.dense_v[li]
@@ -347,6 +365,10 @@ def decode_step_batched(
                 cos_p,
                 sin_p,
             )
+            k_scale_slice = (
+                None if gf.k_scale is None
+                else vt_layer_slice(gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim)
+            )
             if attention_impl == "pallas" and cfg.head_dim % 128 == 0:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention,
@@ -354,6 +376,8 @@ def decode_step_batched(
 
                 out_f, lse_f = lowrank_decode_attention(
                     *fargs, prefill_len,
+                    k_scale_slice=k_scale_slice,
+                    v_rank_scale=gf.v_scale,
                     scale=scale, num_kv_heads=cfg.num_kv_heads,
                 )
                 parts.append(PartialAttention(out=out_f, lse=lse_f))
@@ -364,11 +388,11 @@ def decode_step_batched(
                 )
 
                 k_pre = reconstruct_group_heads(
-                    gf.k_us, fargs[2], cfg.num_kv_heads
+                    gf.k_us, fargs[2], cfg.num_kv_heads, out_scale=k_scale_slice
                 )
                 k_f = apply_rope(k_pre, cos_p[None], sin_p[None]).astype(q.dtype)
                 v_f = reconstruct_group_heads(
-                    gf.v_us, fargs[4], cfg.num_kv_heads
+                    gf.v_us, fargs[4], cfg.num_kv_heads, rank_scale=gf.v_scale
                 ).astype(q.dtype)
                 mask = (
                     jnp.arange(k_f.shape[2])[None, :] < prefill_len[:, None]

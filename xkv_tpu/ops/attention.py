@@ -132,16 +132,37 @@ def mha_reference(
 
 # ------------------------------------------------------------------ factored
 def reconstruct_group_heads(
-    us: jax.Array, vt_slice: jax.Array, num_heads: int
+    us: jax.Array,
+    vt_slice: jax.Array,
+    num_heads: int,
+    out_scale: Optional[jax.Array] = None,
+    rank_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Reconstruct one layer's pre-RoPE K (or V) from group factors.
 
     us: (b, s, r); vt_slice: (b, r, hkv*hd) — the layer's column block of the
     group's shared V^T. Returns (b, hkv, s, hd).
+
+    Int8 factors (compress/quant.py): pass ``out_scale`` (b, 1, m) for the
+    K scheme (int8 x int8 GEMM, post-scale) or ``rank_scale`` (b, 1, r) for
+    the V scheme (dequantize us, bf16 vt).
     """
     b, s, r = us.shape
     m = vt_slice.shape[-1]
-    mat = jnp.einsum("bsr,brm->bsm", us, vt_slice, preferred_element_type=jnp.float32)
+    if out_scale is not None:
+        prod = jnp.einsum(
+            "bsr,brm->bsm",
+            us.astype(jnp.int32),
+            vt_slice.astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        )
+        mat = prod.astype(jnp.float32) * out_scale
+    else:
+        if rank_scale is not None:
+            us = us.astype(jnp.float32) * rank_scale
+        mat = jnp.einsum(
+            "bsr,brm->bsm", us, vt_slice, preferred_element_type=jnp.float32
+        )
     hd = m // num_heads
     return jnp.transpose(mat.reshape(b, s, num_heads, hd), (0, 2, 1, 3))
 
@@ -156,6 +177,9 @@ def factored_decode_attention_xla(
     sin: jax.Array,
     scale: float,
     num_kv_heads: int,
+    k_scale_slice: Optional[jax.Array] = None,
+    v_rank_scale: Optional[jax.Array] = None,
+    valid_len: Optional[jax.Array] = None,
 ) -> PartialAttention:
     """Decode attention over the factored prefill segment (XLA reference).
 
@@ -166,10 +190,18 @@ def factored_decode_attention_xla(
     """
     from xkv_tpu.ops.rope import apply_rope
 
-    k_pre = reconstruct_group_heads(k_us, k_vt_slice, num_kv_heads)  # (b,hkv,s,hd) fp32
+    k_pre = reconstruct_group_heads(
+        k_us, k_vt_slice, num_kv_heads, out_scale=k_scale_slice
+    )  # (b, hkv, s, hd) fp32
     k = apply_rope(k_pre, cos[None], sin[None])
-    v = reconstruct_group_heads(v_us, v_vt_slice, num_kv_heads)
-    return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale)
+    v = reconstruct_group_heads(
+        v_us, v_vt_slice, num_kv_heads, rank_scale=v_rank_scale
+    )
+    mask = None
+    if valid_len is not None:
+        s = k.shape[2]
+        mask = (jnp.arange(s)[None, :] < valid_len[:, None])[:, None, None, :]
+    return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale, mask)
 
 
 def dense_decode_attention_xla(

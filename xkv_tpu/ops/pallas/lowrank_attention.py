@@ -57,6 +57,8 @@ def _lowrank_kernel(
     k_vt_ref,  # (1, rk, hkv*hd)
     v_us_ref,  # (1, block_s, rv)
     v_vt_ref,  # (1, rv, hkv*hd)
+    k_scale_ref,  # (1, 1, hkv*hd) fp32 — int8 post-GEMM scale (ones if bf16)
+    v_scale_ref,  # (1, 1, rv) fp32 — int8 per-rank scale (ones if bf16)
     cos_ref,  # (block_s, hd)
     sin_ref,  # (block_s, hd)
     o_ref,  # (1, hq, hd)
@@ -69,6 +71,7 @@ def _lowrank_kernel(
     block_s: int,
     hkv: int,
     hd: int,
+    quantized: bool,
 ):
     si = pl.program_id(1)
     num_s = pl.num_programs(1)
@@ -79,12 +82,18 @@ def _lowrank_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         t_scratch[...] = jnp.zeros_like(t_scratch)
 
-    compute_dtype = k_us_ref.dtype
-
-    # ---- reconstruct this block's pre-RoPE K in VMEM (one MXU matmul) ----
-    k_pre = jnp.dot(
-        k_us_ref[0], k_vt_ref[0], preferred_element_type=jnp.float32
-    )  # (block_s, hkv*hd)
+    if quantized:
+        # int8 x int8 -> int32 MXU GEMM (2x bf16 rate), post-scaled per column.
+        compute_dtype = jnp.bfloat16
+        k_pre = jnp.dot(
+            k_us_ref[0], k_vt_ref[0], preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * k_scale_ref[0]
+    else:
+        compute_dtype = k_us_ref.dtype
+        # ---- reconstruct this block's pre-RoPE K in VMEM (one MXU matmul) ----
+        k_pre = jnp.dot(
+            k_us_ref[0], k_vt_ref[0], preferred_element_type=jnp.float32
+        )  # (block_s, hkv*hd)
 
     # ---- RoPE on reconstructed keys (VPU); head_dim stays innermost ----
     cos = cos_ref[...].astype(jnp.float32)  # (block_s, hd)
@@ -129,8 +138,11 @@ def _lowrank_kernel(
     # ---- rank-space value accumulation: t += P @ v_us (V has no RoPE, so
     # P @ (v_us @ v_vt) = (P @ v_us) @ v_vt; the v_vt GEMM happens once at
     # the end — 32x fewer FLOPs than reconstructing V per block) ----
+    v_us_blk = v_us_ref[0]
+    if quantized:
+        v_us_blk = v_us_blk.astype(compute_dtype)  # int8 -> bf16 (VPU)
     t_curr = jnp.dot(
-        p.astype(compute_dtype), v_us_ref[0], preferred_element_type=jnp.float32
+        p.astype(compute_dtype), v_us_blk, preferred_element_type=jnp.float32
     )  # (hq, rv)
     t_scratch[...] = t_scratch[...] * alpha + t_curr
 
@@ -141,8 +153,11 @@ def _lowrank_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         # Final projection through the shared V^T basis; block-diagonal
         # extract picks each row's own kv-head columns.
+        t_final = t_scratch[...] * l_inv
+        if quantized:
+            t_final = t_final * v_scale_ref[0]  # per-rank dequant of P @ us_q
         o_full = jnp.dot(
-            (t_scratch[...] * l_inv).astype(compute_dtype),
+            t_final.astype(compute_dtype),
             v_vt_ref[0],
             preferred_element_type=jnp.float32,
         )  # (hq, hkv*hd)
@@ -166,6 +181,8 @@ def lowrank_decode_attention(
     cos_p: jax.Array,  # (s_p, hd)
     sin_p: jax.Array,  # (s_p, hd)
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill length per seq
+    k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 K scale
+    v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv) int8 V scale
     *,
     scale: float,
     num_kv_heads: int,
@@ -208,12 +225,22 @@ def lowrank_decode_attention(
         lengths = jnp.full((b,), s_p, jnp.int32)
     lengths = lengths.reshape(b, 1).astype(jnp.int32)
 
+    quantized = k_us.dtype == jnp.int8
+    if quantized:
+        assert k_scale_slice is not None and v_rank_scale is not None
+        k_scale_slice = k_scale_slice.astype(jnp.float32)
+        v_rank_scale = v_rank_scale.astype(jnp.float32)
+    else:
+        k_scale_slice = jnp.ones((b, 1, hkv * hd), jnp.float32)
+        v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
+
     kernel = functools.partial(
         _lowrank_kernel,
         scale=scale,
         block_s=block_s,
         hkv=hkv,
         hd=hd,
+        quantized=quantized,
     )
 
     out, lse = pl.pallas_call(
@@ -231,6 +258,8 @@ def lowrank_decode_attention(
             pl.BlockSpec((1, rk, hkv * hd), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
             pl.BlockSpec((1, rv, hkv * hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, hkv * hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, rv), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((block_s, hd), lambda bi, si: (si, 0)),
             pl.BlockSpec((block_s, hd), lambda bi, si: (si, 0)),
         ],
@@ -250,6 +279,7 @@ def lowrank_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p)
+    )(q_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice,
+      k_scale_slice, v_rank_scale, cos_p, sin_p)
 
     return out[:, :, None, :], lse[:, 0, :, None]
