@@ -1,0 +1,86 @@
+"""Mistral (sliding window) and Qwen2 (qkv bias) family coverage, plus the
+HF safetensors loader round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xkv_tpu.configs import generate_consecutive_xkv_config
+from xkv_tpu.engine import InferenceEngine
+from xkv_tpu.models.config import ModelConfig, tiny_llama_config
+from xkv_tpu.models.llama import init_params, prefill
+
+
+def test_qwen2_bias_engine_runs():
+    cfg = tiny_llama_config(attention_bias=True, model_type="qwen2")
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert "bq" in params["layers"][0]["attn"]
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    eng = InferenceEngine(
+        params, cfg, xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    prompt = np.arange(20, dtype=np.int32)[None] % cfg.vocab_size
+    out = eng.generate(prompt, max_new_tokens=4)
+    assert np.asarray(out).shape == (1, 4)
+
+
+def test_mistral_sliding_window_changes_prefill():
+    cfg_full = tiny_llama_config(model_type="mistral")
+    cfg_win = tiny_llama_config(model_type="mistral", sliding_window=8)
+    params = init_params(cfg_full, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = jnp.arange(24, dtype=jnp.int32)[None] % cfg_full.vocab_size
+    logits_full, _ = prefill(params, cfg_full, prompt)
+    logits_win, _ = prefill(params, cfg_win, prompt)
+    # early positions (< window) identical; late positions differ
+    np.testing.assert_allclose(
+        np.asarray(logits_full[:, :8]), np.asarray(logits_win[:, :8]),
+        rtol=1e-5, atol=1e-5,
+    )
+    assert np.abs(np.asarray(logits_full[:, -1]) - np.asarray(logits_win[:, -1])).max() > 1e-4
+
+
+def test_hf_config_parsing_families():
+    qwen = ModelConfig.from_hf_config(
+        {
+            "model_type": "qwen2", "vocab_size": 1000, "hidden_size": 64,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "sliding_window": 512,
+        }
+    )
+    assert qwen.attention_bias and qwen.sliding_window == 512
+    assert qwen.head_dim == 16
+
+    ds = ModelConfig.from_hf_config(
+        {
+            "model_type": "deepseek_v2", "vocab_size": 1000, "hidden_size": 64,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "kv_lora_rank": 32,
+            "qk_rope_head_dim": 8, "qk_nope_head_dim": 16, "v_head_dim": 16,
+            "n_routed_experts": 8, "moe_intermediate_size": 32,
+        }
+    )
+    assert ds.kv_lora_rank == 32 and ds.qk_head_dim == 24
+
+
+def test_safetensors_loader_roundtrip(tmp_path):
+    from xkv_tpu.models.loader import load_llama_params, save_llama_params
+
+    cfg = tiny_llama_config(attention_bias=True)
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    mdir = str(tmp_path / "model")
+    save_llama_params(params, cfg, mdir)
+    loaded, loaded_cfg = load_llama_params(mdir, dtype=jnp.float32)
+    assert loaded_cfg.num_layers == cfg.num_layers
+    assert loaded_cfg.num_kv_heads == cfg.num_kv_heads
+
+    prompt = jnp.arange(12, dtype=jnp.int32)[None] % cfg.vocab_size
+    l1, _ = prefill(params, cfg, prompt)
+    l2, _ = prefill(loaded, loaded_cfg, prompt)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4)

@@ -96,6 +96,8 @@ def _lowrank_kernel(
         )  # (block_s, hkv*hd)
 
     # ---- RoPE on reconstructed keys (VPU); head_dim stays innermost ----
+    # fp32 elementwise: the VPU's native width (bf16 elementwise measured
+    # 1.6x SLOWER here due to pack/unpack).
     cos = cos_ref[...].astype(jnp.float32)  # (block_s, hd)
     sin = sin_ref[...].astype(jnp.float32)
     k_heads = k_pre.reshape(block_s, hkv, hd)
