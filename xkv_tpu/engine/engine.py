@@ -67,6 +67,18 @@ class InferenceEngine:
             from xkv_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
+            if attention_impl == "pallas":
+                # pallas_call has no GSPMD partitioning rules here; under a
+                # mesh it would force all-gathers of the sharded factors.
+                # The XLA einsum path partitions cleanly (psum over the
+                # rank shards). shard_map-wrapped kernels are future work.
+                import warnings
+
+                warnings.warn(
+                    "attention_impl='pallas' with a mesh falls back to 'xla' "
+                    "(kernel sharding not yet wired)"
+                )
+                attention_impl = "xla"
         self.params = params
         self.cfg = cfg
         self.xkv = xkv

@@ -228,17 +228,17 @@ def prefill(
         kvs.append((latent, k_pe))
 
         k_nope, v = _up_project(ap, cfg, latent[:, 0])
-        # scores: nope part (per head) + shared pe part (MQA-style)
-        s_nope = jnp.einsum("bhqd,bhkd->bhqk", q_nope, k_nope,
-                            preferred_element_type=jnp.float32)
-        s_pe = jnp.einsum("bhqd,bokd->bhqk", q_pe, k_pe,
-                          preferred_element_type=jnp.float32)
-        scores = (s_nope + s_pe) * scale
-        causal = jnp.tril(jnp.ones((s, s), bool))
-        scores = jnp.where(causal[None, None], scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32).astype(h.dtype)
+        # Assemble per-head Q/K (nope ‖ pe; k_pe broadcast over heads —
+        # reference deepseek_v2.py:239-245) and run blockwise causal
+        # attention (never materializes (s, s) scores).
+        from xkv_tpu.ops.attention import blockwise_causal_attention
+
+        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k_full = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (*k_nope.shape[:-1], k_pe.shape[-1]))],
+            axis=-1,
+        )
+        attn = blockwise_causal_attention(q_full, k_full, v, scale).astype(h.dtype)
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
         h = resid + attn @ ap["o_proj"]
         h = h + _mlp(layer["mlp"], cfg, rms_norm(h, layer["post_norm"],

@@ -156,6 +156,14 @@ def prefill(
                 q, k, v, scale=scale, causal=True, window=cfg.sliding_window
             )  # (b, s, hq, hd)
             attn = attn.reshape(b, s, -1)
+        elif s > 2048:
+            # Blockwise XLA attention: never materializes (s, s) scores.
+            from xkv_tpu.ops.attention import blockwise_causal_attention
+
+            attn = blockwise_causal_attention(
+                q, k, v, scale, window=cfg.sliding_window
+            )
+            attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
         else:
             attn = mha_reference(q, k, v, scale, causal=True, window=cfg.sliding_window)
             attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)

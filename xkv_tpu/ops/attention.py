@@ -218,3 +218,93 @@ def dense_decode_attention_xla(
         s = k.shape[2]
         mask = (jnp.arange(s)[None, :] < valid_len)[:, None, None, :]  # (b,1,1,s)
     return attention_partial(q, k, v, scale, mask)
+
+
+# ----------------------------------------------------------------- blockwise
+def blockwise_causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    q_chunk: int = 512,
+    k_chunk: int = 1024,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Memory-bounded causal attention in pure XLA (lax.scan online softmax).
+
+    The (s, s) score matrix is never materialized — peak is
+    (q_chunk, k_chunk) per head. Used for long prefill where the Pallas
+    kernel is unavailable (CPU, MLA's 192-dim heads) — the XLA analog of
+    flash attention. GQA supported (hq a multiple of hkv).
+
+    q: (b, hq, s, hd); k: (b, hkv, s, hd); v: (b, hkv, s, hd_v) — the value
+    head dim may differ (MLA). Returns (b, hq, s, hd_v).
+    """
+    b, hq, s, hd = q.shape
+    hkv = k.shape[1]
+    hd_v = v.shape[-1]
+    q_chunk = min(q_chunk, s)
+    k_chunk = min(k_chunk, s)
+    # pad s to multiples
+    import math as _math
+
+    nq = _math.ceil(s / q_chunk)
+    nk = _math.ceil(s / k_chunk)
+    s_q_pad, s_k_pad = nq * q_chunk, nk * k_chunk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, s_q_pad - s), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, s_k_pad - s), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, s_k_pad - s), (0, 0)))
+
+    qg = qp.reshape(b, hkv, hq // hkv, s_q_pad, hd)
+    q_blocks = jnp.stack(jnp.split(qg, nq, axis=3), 0)  # (nq, b, hkv, qpk, qc, hd)
+    k_blocks = jnp.stack(jnp.split(kp, nk, axis=2), 0)  # (nk, b, hkv, kc, hd)
+    v_blocks = jnp.stack(jnp.split(vp, nk, axis=2), 0)
+
+    def one_q_block(carry, inputs):
+        qi, qb = inputs  # qb: (b, hkv, qpk, qc, hd)
+        q_start = qi * q_chunk
+
+        def kv_step(state, kv_inputs):
+            m_prev, l_prev, acc = state
+            ki, kb, vb = kv_inputs
+            k_start = ki * k_chunk
+            sc = jnp.einsum(
+                "bgnqd,bgkd->bgnqk", qb, kb, preferred_element_type=jnp.float32
+            ) * scale
+            rows = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (q_chunk, k_chunk), 0
+            )
+            cols = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (q_chunk, k_chunk), 1
+            )
+            mask = (cols <= rows) & (cols < s)
+            if window is not None:
+                mask &= cols > rows - window
+            sc = jnp.where(mask[None, None, None], sc, NEG_INF)
+            m_curr = jnp.max(sc, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.where(mask[None, None, None], jnp.exp(sc - m_next), 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bgnqk,bgkd->bgnqd", p.astype(vb.dtype), vb,
+                preferred_element_type=jnp.float32,
+            )
+            return (m_next, l_next, acc), None
+
+        init = (
+            jnp.full((b, hkv, hq // hkv, q_chunk, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((b, hkv, hq // hkv, q_chunk, 1), jnp.float32),
+            jnp.zeros((b, hkv, hq // hkv, q_chunk, hd_v), jnp.float32),
+        )
+        (m, l, acc), _ = jax.lax.scan(
+            kv_step, init, (jnp.arange(nk), k_blocks, v_blocks)
+        )
+        out = acc / jnp.maximum(l, 1e-30)
+        return carry, out.astype(q.dtype)
+
+    _, outs = jax.lax.scan(one_q_block, None, (jnp.arange(nq), q_blocks))
+    # (nq, b, hkv, qpk, qc, hd_v) -> (b, hq, s, hd_v)
+    out = jnp.moveaxis(outs, 0, 3).reshape(b, hkv, hq // hkv, s_q_pad, hd_v)
+    out = out.reshape(b, hq, s_q_pad, hd_v)
+    return out[:, :, :s]
