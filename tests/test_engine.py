@@ -282,3 +282,34 @@ def test_int8_pallas_matches_int8_xla(params, prompt):
     ox, _ = eng_x.decode_step(cx, tok, pos)
     op, _ = eng_p.decode_step(cp, tok, pos)
     np.testing.assert_allclose(np.asarray(op), np.asarray(ox), rtol=5e-3, atol=5e-3)
+
+
+def test_refactorize_extends_generation(params, prompt):
+    """A tiny tail (4) with refactorization generates 10 tokens; with a
+    full-rank (lossless) factorization the output must match the
+    uncompressed baseline even across refactorization boundaries."""
+    full_rank = 2 * CFG.num_kv_heads * CFG.head_dim  # lossless for group of 2
+    cfg = xkv_cfg(group_size=2, rank_k=full_rank, rank_v=full_rank)
+    eng_f = make_engine(params, "factored", cfg, tail_max=4)
+    eng_n = make_engine(params, "none", tail_max=16)
+    out_f = np.asarray(eng_f.generate(prompt, max_new_tokens=10))
+    out_n = np.asarray(eng_n.generate(prompt, max_new_tokens=10))
+    np.testing.assert_array_equal(out_f, out_n)
+
+
+def test_refactorize_grows_prefill_len(params, prompt):
+    cfg = xkv_cfg(group_size=2, rank_k=16, rank_v=16)
+    eng = make_engine(params, "factored", cfg, tail_max=4)
+    _, cache = eng.prefill(prompt)
+    s0 = cache.prefill_len
+    # fill the tail
+    tok = jnp.zeros((prompt.shape[0], 1), jnp.int32)
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    for i in range(4):
+        _, cache = eng.decode_step(cache, tok, pos + i)
+    cache2 = eng.refactorize(cache)
+    assert cache2.prefill_len == s0 + 4
+    assert int(jax.device_get(cache2.tail_len)) == 0
+    # still decodable
+    logits, _ = eng.decode_step(cache2, tok, pos + 4)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from xkv_tpu.cache import GroupFactors, XKVCache, init_tail
 from xkv_tpu.compress.slerp import minicache_merge_heads
 from xkv_tpu.compress.svd import (
+    LowRankFactors,
     factorize,
     heads_to_matrix,
     matrix_to_heads,
@@ -213,6 +214,137 @@ def build_uncompressed_cache(
         groups=(),
         dense_k=dense_k,
         dense_v=dense_v,
+        tail_k=tail_k,
+        tail_v=tail_v,
+        tail_len=jnp.zeros((), jnp.int32),
+    )
+
+
+def refactorize_cache(
+    cache: XKVCache,
+    xkv: XKVConfig,
+    cfg: ModelConfig,
+    factor_dtype=jnp.bfloat16,
+    cache_dtype=jnp.bfloat16,
+) -> XKVCache:
+    """Fold a FULL decode tail back into the compressed cache.
+
+    The hybrid design appends decode-time K/V to a dense tail (new tokens
+    can't cheaply join a frozen factorization). When the tail fills, this
+    re-runs the merge over [reconstructed prefill ; tail] per group —
+    realizing the periodic-refactorization policy the reference fork only
+    sketched (`src/patch_model.py:62-120`, windowed compression).
+
+    Caller contract: ``tail_len == tail_max`` (every tail row valid). The
+    tail stores post-RoPE keys; they are un-rotated (RoPE by -θ is exact)
+    before joining the pre-RoPE factors.
+    """
+    from xkv_tpu.compress.quant import dequantize_k, dequantize_v
+    from xkv_tpu.compress.quant import QuantizedKFactors, QuantizedVFactors
+    from xkv_tpu.ops.rope import rope_cos_sin
+
+    s_p = cache.prefill_len
+    t = cache.tail_max
+    s_new = s_p + t
+    hkv, hd = cfg.num_kv_heads, cfg.head_dim
+
+    cos_t, sin_t = rope_cos_sin(
+        s_p + jnp.arange(t), hd, cfg.rope_theta, cfg.rope_scaling
+    )
+    cos_full, sin_full = rope_cos_sin(
+        jnp.arange(s_new), hd, cfg.rope_theta, cfg.rope_scaling
+    )
+
+    svd_kw = dict(
+        method=xkv.svd_method,
+        oversample=xkv.svd_oversample,
+        n_iter=xkv.svd_iters,
+        seed=xkv.svd_seed,
+    )
+    quantized = any(g.k_scale is not None or g.v_scale is not None
+                    for g in cache.groups)
+
+    def unrope(k):  # (b, hkv, t, hd) post-RoPE -> pre-RoPE
+        return apply_rope(k, cos_t[None], -sin_t[None])
+
+    new_groups = []
+    for grp, gf in zip(xkv.layer_groups, cache.groups):
+        layers = grp.layers
+        kw = {}
+        if gf.k_us is not None:
+            if gf.k_scale is not None:
+                k_mat = dequantize_k(
+                    QuantizedKFactors(gf.k_us, gf.k_vt, gf.k_scale)
+                )
+            else:
+                k_mat = reconstruct(
+                    LowRankFactors(gf.k_us.astype(jnp.float32),
+                                   gf.k_vt.astype(jnp.float32))
+                )
+            tail_pre = _stack_group_matrix(
+                [unrope(cache.tail_k[l].astype(jnp.float32)) for l in layers]
+            )
+            k_ext = jnp.concatenate([k_mat, tail_pre], axis=1)
+            fac_k = factorize(k_ext, grp.rank_k, **svd_kw)
+            if quantized:
+                from xkv_tpu.compress.quant import quantize_k_factors
+
+                qk = quantize_k_factors(fac_k.us, fac_k.vt)
+                kw.update(k_us=qk.us_q, k_vt=qk.vt_q, k_scale=qk.out_scale)
+            else:
+                kw.update(
+                    k_us=fac_k.us.astype(factor_dtype),
+                    k_vt=fac_k.vt.astype(factor_dtype),
+                )
+        if gf.v_us is not None:
+            if gf.v_scale is not None:
+                v_mat = dequantize_v(
+                    QuantizedVFactors(gf.v_us, gf.v_scale, gf.v_vt)
+                )
+            else:
+                v_mat = reconstruct(
+                    LowRankFactors(gf.v_us.astype(jnp.float32),
+                                   gf.v_vt.astype(jnp.float32))
+                )
+            tail_v = _stack_group_matrix(
+                [cache.tail_v[l].astype(jnp.float32) for l in layers]
+            )
+            v_ext = jnp.concatenate([v_mat, tail_v], axis=1)
+            fac_v = factorize(v_ext, grp.rank_v, **svd_kw)
+            if quantized:
+                from xkv_tpu.compress.quant import quantize_v_factors
+
+                qv = quantize_v_factors(fac_v.us, fac_v.vt)
+                kw.update(v_us=qv.us_q, v_vt=qv.vt, v_scale=qv.rank_scale)
+            else:
+                kw.update(
+                    v_us=fac_v.us.astype(factor_dtype),
+                    v_vt=fac_v.vt.astype(factor_dtype),
+                )
+        new_groups.append(GroupFactors(**kw))
+
+    # Dense segments: concat the (already post-RoPE) tail.
+    new_dense_k = {
+        l: jnp.concatenate(
+            [cache.dense_k[l], cache.tail_k[l].astype(cache.dense_k[l].dtype)],
+            axis=2,
+        )
+        for l in cache.dense_k
+    }
+    new_dense_v = {
+        l: jnp.concatenate(
+            [cache.dense_v[l], cache.tail_v[l].astype(cache.dense_v[l].dtype)],
+            axis=2,
+        )
+        for l in cache.dense_v
+    }
+
+    batch = cache.tail_k.shape[1]
+    tail_k, tail_v = init_tail(cfg, batch, t, cache.tail_k.dtype)
+    return XKVCache(
+        groups=tuple(new_groups),
+        dense_k=new_dense_k,
+        dense_v=new_dense_v,
         tail_k=tail_k,
         tail_v=tail_v,
         tail_len=jnp.zeros((), jnp.int32),

@@ -89,6 +89,7 @@ class InferenceEngine:
         self.factor_dtype = factor_dtype
 
         self._prefill_fn = jax.jit(self._prefill_impl)
+        self._refactorize_fn = jax.jit(self._refactorize_impl)
         donate = (0,) if donate_cache else ()
         self._decode_fn = jax.jit(self._decode_impl, donate_argnums=donate)
         self._generate_fn = jax.jit(
@@ -127,6 +128,22 @@ class InferenceEngine:
                 rope_dense_keys=self._rope_dense_keys,
             )
         return logits, cache
+
+    def _refactorize_impl(self, cache):
+        from xkv_tpu.engine.compression import refactorize_cache
+
+        return refactorize_cache(
+            cache, self.xkv, self.cfg,
+            factor_dtype=self.factor_dtype, cache_dtype=self.cache_dtype,
+        )
+
+    def refactorize(self, cache):
+        """Fold a full decode tail into the factors (tail_len must equal
+        tail_max); returns a cache with an empty tail and prefill_len
+        extended by tail_max."""
+        if self.mode != "factored" or self.xkv is None:
+            raise ValueError("refactorize requires mode='factored'")
+        return self._refactorize_fn(cache)
 
     def _decode_impl(self, cache, params, tokens, pos):
         cos_sin = self._prefill_cos_sin(cache.prefill_len)
@@ -218,7 +235,8 @@ class InferenceEngine:
         `evaluate/evaluator.py:63`). Returns (b, <=max_new_tokens) including
         nothing past the first EOS (host-side truncation)."""
         tokens = jnp.asarray(tokens, jnp.int32)
-        if max_new_tokens > self.tail_max:
+        can_refactor = self.mode == "factored" and self.xkv is not None
+        if max_new_tokens > self.tail_max and not can_refactor:
             raise ValueError(
                 f"max_new_tokens={max_new_tokens} exceeds tail_max={self.tail_max}"
             )
@@ -227,10 +245,22 @@ class InferenceEngine:
         start_pos = jnp.asarray(tokens.shape[1], jnp.int32)
         if max_new_tokens == 1:
             return first[:, None]
-        rest, _ = self._generate_fn(
-            cache, self.params, first, start_pos, n_steps=max_new_tokens - 1
-        )
-        out = jnp.concatenate([first[:, None], rest], axis=1)
+        pieces = [first[:, None]]
+        tok = first
+        pos = start_pos
+        remaining = max_new_tokens - 1
+        while remaining > 0:
+            # Segment the loop at tail capacity; a full tail is folded back
+            # into the factors (periodic refactorization).
+            n = min(remaining, self.tail_max)
+            rest, cache = self._generate_fn(cache, self.params, tok, pos, n_steps=n)
+            pieces.append(rest)
+            tok = rest[:, -1]
+            pos = pos + n
+            remaining -= n
+            if remaining > 0:
+                cache = self.refactorize(cache)
+        out = jnp.concatenate(pieces, axis=1)
         if eos_token_id is not None:
             out_np = jax.device_get(out)
             import numpy as np
