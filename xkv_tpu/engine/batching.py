@@ -155,40 +155,50 @@ class BatchedEngine:
             raise ValueError(f"prompt length {s} exceeds s_max={self.s_max}")
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :s] = tokens
-        # NOTE: right-padding would corrupt causal prefill for the padded
-        # region only; the valid region [0, s) attends only within itself,
-        # so its K/V and logits are exact. We keep factors from the first
-        # ``s`` rows... however SVD over padded rows would fold garbage into
-        # the factors, so the compression runs on the *unpadded* length by
-        # bucketing the SVD input to s (dynamic work lives outside jit).
+        # Right-padding is safe: the valid region [0, s) attends only within
+        # itself (causal), so its K/V and logits are exact. Before
+        # compression the padded rows are MASKED TO ZERO — zero rows are
+        # exactly representable by the SVD (zero rows of U) and consume no
+        # rank, and decode masks them via per-slot prefill_len. Everything
+        # is therefore static per bucket: one compile per bucket, not per
+        # prompt length.
         if bucket not in self._prefill_jit:
+
             def fn(params, toks, true_len):
                 logits, kvs = llama.prefill(
                     params, self.cfg, toks, attention_impl=self.attention_impl
                 )
-                return logits, kvs
+                mask = (jnp.arange(toks.shape[1]) < true_len)[
+                    None, None, :, None
+                ]
+                kvs = [(k * mask, v * mask) for k, v in kvs]
+                cos_p, sin_p = (x[: toks.shape[1]] for x in self._cos_sin)
+                if self.xkv is not None:
+                    cache1 = build_cache(
+                        kvs, self.xkv, self.cfg, cos_p, sin_p, tail_max=1,
+                        factor_dtype=self.factor_dtype,
+                        cache_dtype=self.cache_dtype,
+                    )
+                else:
+                    from xkv_tpu.engine.compression import (
+                        build_uncompressed_cache,
+                    )
+
+                    cache1 = build_uncompressed_cache(
+                        kvs, self.cfg, cos_p, sin_p, tail_max=1,
+                        cache_dtype=self.cache_dtype,
+                    )
+                first_logits = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, axis=0, keepdims=False
+                )
+                return first_logits, cache1
 
             self._prefill_jit[bucket] = jax.jit(fn)
-        logits, kvs = self._prefill_jit[bucket](
+        first_logits, cache1 = self._prefill_jit[bucket](
             self.params, jnp.asarray(padded), s
         )
-        # Trim to true length before compression so factors see no padding.
-        kvs = [(k[:, :, :s], v[:, :, :s]) for k, v in kvs]
-        cos_p, sin_p = (x[:s] for x in self._cos_sin)
-        if self.xkv is not None:
-            cache1 = build_cache(
-                kvs, self.xkv, self.cfg, cos_p, sin_p, tail_max=1,
-                factor_dtype=self.factor_dtype, cache_dtype=self.cache_dtype,
-            )
-        else:
-            from xkv_tpu.engine.compression import build_uncompressed_cache
-
-            cache1 = build_uncompressed_cache(
-                kvs, self.cfg, cos_p, sin_p, tail_max=1,
-                cache_dtype=self.cache_dtype,
-            )
-        first_token = int(np.argmax(np.asarray(logits[0, s - 1])))
-        return cache1, first_token, s
+        first_token = int(np.argmax(np.asarray(first_logits)))
+        return cache1, first_token, s, bucket
 
     def _insert_impl(self, batch_cache: XKVCache, cache1: XKVCache, slot: int,
                      s_bucket: int):
@@ -264,9 +274,9 @@ class BatchedEngine:
             if not self.queue:
                 break
             req = self.queue.pop(0)
-            cache1, first_token, s = self._prefill_one(req.tokens)
+            cache1, first_token, s, bucket = self._prefill_one(req.tokens)
             self.batch_cache = self._insert_jit(
-                self.batch_cache, cache1, slot, s_bucket=s
+                self.batch_cache, cache1, slot, s_bucket=bucket
             )
             req.generated.append(first_token)
             self.slot_request[slot] = req

@@ -103,17 +103,12 @@ class Evaluator:
         all_results = self.results
         if self.world_size > 1:
             import jax
-            from jax.experimental import multihost_utils
 
-            gathered = multihost_utils.process_allgather(
-                np.frombuffer(
-                    json.dumps(self.results).encode().ljust(65536, b" "), dtype=np.uint8
-                )
-            )
+            from xkv_tpu.parallel.distributed import allgather_obj
+
+            gathered = allgather_obj(self.results)
             if jax.process_index() == 0:
-                all_results = []
-                for row in np.asarray(gathered).reshape(self.world_size, -1):
-                    all_results.extend(json.loads(bytes(row.tolist()).decode().strip()))
+                all_results = [r for rows in gathered for r in rows]
             else:
                 return {}
 
