@@ -78,3 +78,27 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_engine_pallas_tp_matches_unsharded(params):
+    """attention_impl='pallas' under a mesh routes the decode through the
+    shard_map TP kernel (interpret mode on CPU); output must match the
+    single-device engine."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, CFG.vocab_size, size=(2, 24)).astype(np.int32)
+    common = dict(
+        xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    eng_single = InferenceEngine(params, CFG, attention_impl="xla", **common)
+    eng_tp = InferenceEngine(
+        params, CFG, attention_impl="pallas",
+        mesh=make_mesh(data=2, model=4), **common,
+    )
+    out_s = np.asarray(eng_single.generate(prompt, max_new_tokens=4))
+    out_t = np.asarray(eng_tp.generate(prompt, max_new_tokens=4))
+    np.testing.assert_array_equal(out_s, out_t)

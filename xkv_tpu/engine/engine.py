@@ -67,18 +67,6 @@ class InferenceEngine:
             from xkv_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
-            if attention_impl == "pallas":
-                # pallas_call has no GSPMD partitioning rules here; under a
-                # mesh it would force all-gathers of the sharded factors.
-                # The XLA einsum path partitions cleanly (psum over the
-                # rank shards). shard_map-wrapped kernels are future work.
-                import warnings
-
-                warnings.warn(
-                    "attention_impl='pallas' with a mesh falls back to 'xla' "
-                    "(kernel sharding not yet wired)"
-                )
-                attention_impl = "xla"
         self.params = params
         self.cfg = cfg
         self.xkv = xkv
@@ -104,8 +92,12 @@ class InferenceEngine:
         )
 
     def _prefill_impl(self, params, tokens):
+        # Under a mesh, prefill uses the blockwise XLA path (pallas_call has
+        # no GSPMD partitioning rules; the decode kernel goes through an
+        # explicit shard_map instead — lowrank_decode_attention_tp).
+        prefill_attention = "xla" if self.mesh is not None else self.attention_impl
         logits, kvs = self._model.prefill(
-            params, self.cfg, tokens, attention_impl=self.attention_impl
+            params, self.cfg, tokens, attention_impl=prefill_attention
         )
         cos_p, sin_p = self._prefill_cos_sin(tokens.shape[1])
         if self.mode == "none":
@@ -149,7 +141,7 @@ class InferenceEngine:
         cos_sin = self._prefill_cos_sin(cache.prefill_len)
         return self._model.decode_step(
             params, self.cfg, self.xkv, cache, tokens, pos, cos_sin,
-            attention_impl=self.attention_impl,
+            attention_impl=self.attention_impl, mesh=self.mesh,
         )
 
     def _generate_impl(self, cache, params, first_token, start_pos, n_steps: int):
@@ -165,7 +157,7 @@ class InferenceEngine:
             )
             logits, step_cache = self._model.decode_step(
                 params, self.cfg, self.xkv, step_cache, token[:, None], pos, cos_sin,
-                attention_impl=self.attention_impl,
+                attention_impl=self.attention_impl, mesh=self.mesh,
             )
             next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             carry = (
@@ -197,7 +189,7 @@ class InferenceEngine:
             )
             logits, step_cache = self._model.decode_step(
                 params, self.cfg, self.xkv, step_cache, token[:, None], pos, cos_sin,
-                attention_impl=self.attention_impl,
+                attention_impl=self.attention_impl, mesh=self.mesh,
             )
             logprobs = jax.nn.log_softmax(logits[:, -1, :], axis=-1)
             carry = (

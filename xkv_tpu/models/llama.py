@@ -183,6 +183,7 @@ def decode_step(
     pos: jax.Array,
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
     attention_impl: str = "xla",
+    mesh=None,
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step with the hybrid factored cache.
 
@@ -238,7 +239,26 @@ def decode_step(
             # Mosaic requires lane-aligned head_dim for the in-kernel
             # (block_s, hkv*hd) -> (block_s, hkv, hd) reshape.
             pallas_ok = cfg.head_dim % 128 == 0
-            if attention_impl == "pallas" and ql == 1 and pallas_ok:
+            tp_ok = (
+                mesh is not None
+                and "model" in mesh.shape
+                and cfg.num_kv_heads % mesh.shape["model"] == 0
+            )
+            if attention_impl == "pallas" and ql == 1 and pallas_ok and tp_ok:
+                from xkv_tpu.ops.pallas.lowrank_attention import (
+                    lowrank_decode_attention_tp,
+                )
+
+                out_f, lse_f = lowrank_decode_attention_tp(
+                    mesh,
+                    *factored_args,
+                    k_scale_slice=k_scale_slice,
+                    v_rank_scale=gf.v_scale,
+                    scale=scale,
+                    num_kv_heads=cfg.num_kv_heads,
+                )
+                parts.append(PartialAttention(out=out_f, lse=lse_f))
+            elif attention_impl == "pallas" and ql == 1 and pallas_ok and mesh is None:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention,
                 )

@@ -285,3 +285,84 @@ def lowrank_decode_attention(
       k_scale_slice, v_rank_scale, cos_p, sin_p)
 
     return out[:, :, None, :], lse[:, 0, :, None]
+
+
+def lowrank_decode_attention_tp(
+    mesh,
+    q: jax.Array,  # (b, hq, 1, hd)
+    k_us: jax.Array,  # (b, s_p, rk)
+    k_vt_slice: jax.Array,  # (b, rk, hkv*hd) — already layer-sliced
+    v_us: jax.Array,
+    v_vt_slice: jax.Array,
+    cos_p: jax.Array,
+    sin_p: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    k_scale_slice: Optional[jax.Array] = None,
+    v_rank_scale: Optional[jax.Array] = None,
+    *,
+    scale: float,
+    num_kv_heads: int,
+    block_s: int = 1024,
+    interpret: Optional[bool] = None,
+    model_axis: str = "model",
+) -> Tuple[jax.Array, jax.Array]:
+    """Tensor-parallel kernel: kv heads sharded over the mesh's model axis.
+
+    Head sharding is collective-free for attention itself: each shard holds
+    its kv heads' V^T columns (a contiguous column block of the layer
+    slice), the full ``us`` coordinates (replicated — they are the group's
+    shared rank space), and its query heads. Every head's scores and output
+    are complete on one shard; only the downstream o_proj needs the usual
+    Megatron psum (inserted by GSPMD outside this call).
+
+    Per-shard reconstruction FLOPs are divided by the mesh width — the
+    multi-chip answer to the kernel's single-chip compute-bound profile
+    (docs/DESIGN.md).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n = mesh.shape[model_axis]
+    hkv_local = num_kv_heads // n
+    assert num_kv_heads % n == 0, "kv heads must divide the model axis"
+    b = q.shape[0]
+    s_p = k_us.shape[1]
+    if lengths is None:
+        lengths = jnp.full((b,), s_p, jnp.int32)
+
+    quantized = k_us.dtype == jnp.int8
+    if not quantized:
+        rv = v_us.shape[2]
+        k_scale_slice = jnp.ones((b, 1, k_vt_slice.shape[2]), jnp.float32)
+        v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
+
+    def local(q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, lens, ks_l, vs_l):
+        return lowrank_decode_attention(
+            q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, lens,
+            k_scale_slice=ks_l if quantized else None,
+            v_rank_scale=vs_l if quantized else None,
+            scale=scale, num_kv_heads=hkv_local, block_s=block_s,
+            interpret=interpret,
+        )
+
+    rep = P()
+    out, lse = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, model_axis, None, None),  # q: heads sharded (kv-head-major)
+            rep,  # k_us replicated
+            P(None, None, model_axis),  # k_vt columns by kv head
+            rep,  # v_us replicated
+            P(None, None, model_axis),  # v_vt columns by kv head
+            rep,
+            rep,
+            rep,  # lengths
+            P(None, None, model_axis),  # k_scale columns by kv head
+            rep,  # v_rank_scale (rank space, shared)
+        ),
+        out_specs=(P(None, model_axis, None, None), P(None, model_axis, None)),
+        check_rep=False,
+    )(q, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p, lengths,
+      k_scale_slice, v_rank_scale)
+    return out, lse
