@@ -194,3 +194,39 @@ def test_evaluator_markdown(tmp_path):
     ev.results.append({"dataset": "d", "n_samples": 6, "score": 1.0, "elapsed_s": 0})
     md = ev.markdown_table()
     assert "0.8750" in md  # (0.5*2 + 1.0*6) / 8
+
+
+def test_qa_synthetic_fallback():
+    """qa tasks run offline via the synthetic corpus; answer lives in the
+    gold document inside the context."""
+    rows = generate_task("qa_1", tokenizer=ByteTokenizer(), max_seq_length=2048,
+                         num_samples=2)
+    for r in rows:
+        assert r["outputs"][0] in r["input"]
+        assert "Question:" in r["input"]
+
+
+def test_calib_data_synthetic(tmp_path):
+    from xkv_tpu.utils.data_utils import get_calib_data
+
+    tok = ByteTokenizer()
+    chunks = get_calib_data("synthetic", tok, nsamples=4, seqlen=128,
+                            cache_dir=str(tmp_path))
+    assert chunks.shape == (4, 128)
+    # cached round-trip
+    again = get_calib_data("synthetic", tok, nsamples=4, seqlen=128,
+                           cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(chunks, again)
+
+
+def test_enhanced_compressor_shape():
+    import jax
+    import jax.numpy as jnp
+
+    from xkv_tpu.train import EnhancedConvCompressor
+
+    comp = EnhancedConvCompressor(features=16, latent_features=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 32))
+    variables = comp.init(jax.random.PRNGKey(1), x)
+    out = comp.apply(variables, x)
+    assert out.shape == x.shape

@@ -23,7 +23,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
     ap.add_argument("--compressor", default="dual1d",
-                    choices=["identity", "conv", "dual1d", "vae"])
+                    choices=["identity", "conv", "enhanced", "dual1d", "vae"])
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--batch", type=int, default=2)

@@ -8,8 +8,9 @@ context-sizing loop (grow the haystack until the tokenized prompt fills
 sizing loop instead of five argparse scripts.
 
 Differences (documented): offline word/essay sources (see wordlists.py);
-qa requires local SQuAD/HotpotQA json files (reference downloads them,
-`synthetic/json/download_qa_dataset.sh`).
+qa uses local SQuAD/HotpotQA json when XKV_QA_JSON_DIR points at the
+reference-format files (`synthetic/json/download_qa_dataset.sh`), else a
+synthetic offline corpus with the same gold-doc + distractor structure.
 """
 
 from __future__ import annotations
@@ -257,16 +258,44 @@ def generate_fwe_sample(
 
 
 # ------------------------------------------------------------------- qa
-def load_qa_corpus(dataset: str, json_dir: str) -> Tuple[List[dict], Dict[str, str]]:
-    """Load SQuAD/HotpotQA from local json (reference `qa.py:68-108`; the
-    files come from the reference's download_qa_dataset.sh)."""
-    path = os.path.join(json_dir, f"{dataset}.json")
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"{path} not found. The qa tasks need local SQuAD/HotpotQA json "
-            f"(reference synthetic/json/download_qa_dataset.sh); set "
-            f"XKV_QA_JSON_DIR or pass json_dir."
+def synthetic_qa_corpus(
+    rng: random.Random, n_docs: int = 400, n_qas: int = 200
+) -> Tuple[List[dict], Dict[int, str]]:
+    """Offline fallback corpus: documents of filler sentences, each carrying
+    one stated fact; questions ask for that fact. Preserves the qa task's
+    structure (gold doc + distractors) without the downloaded SQuAD json."""
+    docs: Dict[int, str] = {}
+    qas: List[dict] = []
+    key_pool = wordlists.key_words()
+    for i in range(n_docs):
+        subject = rng.choice(key_pool)
+        value = str(rng.randint(10**6, 10**7 - 1))
+        filler = " ".join(
+            wordlists.essay_words(random.Random(rng.randint(0, 1 << 30)),
+                                  approx_words=60)
         )
+        docs[i] = (
+            f"{filler} The registration code of the {subject} is {value}. "
+        )
+        if len(qas) < n_qas:
+            qas.append(
+                {
+                    "query": f"What is the registration code of the {subject}?",
+                    "outputs": [value],
+                    "context": [i],
+                }
+            )
+    return qas, docs
+
+
+def load_qa_corpus(dataset: str, json_dir: str) -> Tuple[List[dict], Dict[int, str]]:
+    """Load SQuAD/HotpotQA from local json (reference `qa.py:68-108`; the
+    files come from the reference's download_qa_dataset.sh). Without the
+    json files, a synthetic offline corpus with the same structure is used
+    (documented deviation; set XKV_QA_JSON_DIR for the real corpora)."""
+    path = os.path.join(json_dir, f"{dataset}.json") if json_dir else ""
+    if not path or not os.path.exists(path):
+        return synthetic_qa_corpus(random.Random(42))
     raw = json.load(open(path))
     if dataset == "squad":
         total_docs, total_qas = [], []

@@ -1,5 +1,6 @@
 from xkv_tpu.train.compressors import (  # noqa: F401
     ConvCompressor,
+    EnhancedConvCompressor,
     Dual1DConvCompressor,
     VAEConvCompressor,
     IdentityCompressor,

@@ -170,9 +170,61 @@ def make_compressor(kind: str, **kwargs):
     kinds = {
         "identity": IdentityCompressor,
         "conv": ConvCompressor,
+        "enhanced": EnhancedConvCompressor,
         "dual1d": Dual1DConvCompressor,
         "vae": VAEConvCompressor,
     }
     if kind not in kinds:
         raise ValueError(f"unknown compressor {kind!r}; options {list(kinds)}")
     return kinds[kind](**kwargs)
+
+
+class EnhancedConvCompressor(nn.Module):
+    """Conv compressor with residual refinement and channel attention
+    (reference `EnhancedConvolutionalCompressor`, `compressor.py:243-417`:
+    multi-stage strided conv + SE-style channel gating + residual blocks)."""
+
+    features: int = 64
+    latent_features: int = 16
+    strides: Tuple[int, int] = (2, 2)
+    num_res_blocks: int = 2
+    se_ratio: int = 4
+
+    def _channel_attention(self, x, name):
+        # Squeeze-and-excite over the feature axis (reference :398-417).
+        pooled = jnp.mean(x, axis=(1, 2))  # (b, f)
+        f = x.shape[-1]
+        h = nn.relu(nn.Dense(max(1, f // self.se_ratio), name=f"{name}_se1")(pooled))
+        gate = jax.nn.sigmoid(nn.Dense(f, name=f"{name}_se2")(h))
+        return x * gate[:, None, None, :]
+
+    def _res_block(self, x, name):
+        h = nn.gelu(nn.Conv(x.shape[-1], (3, 3), name=f"{name}_c1")(x))
+        h = nn.Conv(x.shape[-1], (3, 3), name=f"{name}_c2")(h)
+        return nn.gelu(x + h)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.gelu(
+            nn.Conv(self.features, (3, 3), strides=self.strides, name="enc")(x)
+        )
+        for i in range(self.num_res_blocks):
+            h = self._res_block(h, f"enc_res{i}")
+        h = self._channel_attention(h, "enc_ca")
+        z = nn.Conv(self.latent_features, (3, 3), name="to_latent")(h)
+
+        h = nn.gelu(
+            nn.ConvTranspose(self.features, (3, 3), strides=self.strides,
+                             name="dec")(z)
+        )
+        for i in range(self.num_res_blocks):
+            h = self._res_block(h, f"dec_res{i}")
+        out = nn.Dense(x.shape[-1], name="dec_out")(h)
+        out = out[:, : x.shape[1], : x.shape[2], :]
+        pad = [
+            (0, 0),
+            (0, x.shape[1] - out.shape[1]),
+            (0, x.shape[2] - out.shape[2]),
+            (0, 0),
+        ]
+        return jnp.pad(out, pad)
