@@ -102,3 +102,43 @@ def test_sharded_engine_pallas_tp_matches_unsharded(params):
     out_s = np.asarray(eng_single.generate(prompt, max_new_tokens=4))
     out_t = np.asarray(eng_tp.generate(prompt, max_new_tokens=4))
     np.testing.assert_array_equal(out_s, out_t)
+
+
+def test_ring_attention_matches_reference():
+    """Sequence-parallel ring attention over the data axis == single-device
+    causal attention."""
+    from xkv_tpu.ops.attention import mha_reference
+    from xkv_tpu.ops.ring_attention import ring_attention
+    import math
+
+    mesh = make_mesh(data=4, model=2)
+    b, hq, hkv, s, hd = 2, 4, 2, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, hq, s, hd))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, s, hd))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, hkv, s, hd))
+    scale = 1 / math.sqrt(hd)
+    ref = mha_reference(q, k, v, scale, causal=True)
+    got = ring_attention(q, k, v, mesh=mesh, axis_name="data", scale=scale)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ring_attention_sliding_window():
+    from xkv_tpu.ops.attention import mha_reference
+    from xkv_tpu.ops.ring_attention import ring_attention
+    import math
+
+    mesh = make_mesh(data=8, model=1)
+    b, h, s, hd = 1, 2, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, hd))
+    k = jax.random.normal(jax.random.PRNGKey(4), (b, h, s, hd))
+    v = jax.random.normal(jax.random.PRNGKey(5), (b, h, s, hd))
+    scale = 1 / math.sqrt(hd)
+    ref = mha_reference(q, k, v, scale, causal=True, window=20)
+    got = ring_attention(
+        q, k, v, mesh=mesh, axis_name="data", scale=scale, window=20
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

@@ -237,8 +237,9 @@ def decode_step(
                 sin_p,
             )
             # Mosaic requires lane-aligned head_dim for the in-kernel
-            # (block_s, hkv*hd) -> (block_s, hkv, hd) reshape.
-            pallas_ok = cfg.head_dim % 128 == 0
+            # (block_s, hkv*hd) -> (block_s, hkv, hd) reshape; interpret
+            # mode (non-TPU backends) has no such constraint.
+            pallas_ok = cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu"
             tp_ok = (
                 mesh is not None
                 and "model" in mesh.shape
@@ -397,7 +398,8 @@ def decode_step_batched(
                 None if gf.k_scale is None
                 else vt_layer_slice(gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim)
             )
-            if attention_impl == "pallas" and cfg.head_dim % 128 == 0:
+            pallas_ok_b = cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu"
+            if attention_impl == "pallas" and pallas_ok_b:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention,
                 )

@@ -362,7 +362,7 @@ def lowrank_decode_attention_tp(
             rep,  # v_rank_scale (rank space, shared)
         ),
         out_specs=(P(None, model_axis, None, None), P(None, model_axis, None)),
-        check_rep=False,
+        check_vma=False,
     )(q, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p, lengths,
       k_scale_slice, v_rank_scale)
     return out, lse
