@@ -256,6 +256,7 @@ def decode_step(
     pos: jax.Array,
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
     attention_impl: str = "xla",
+    mesh=None,
 ) -> Tuple[jax.Array, XKVCache]:
     """Absorbed MLA decode over the hybrid latent cache.
 
