@@ -77,10 +77,12 @@ def measure_decode(eng, prompt, steps: int) -> float:
     pos = jnp.asarray(prompt.shape[1], jnp.int32)
     vocab = eng.cfg.vocab_size
 
+    cos_sin = eng._prefill_cos_sin(cache.prefill_len)
+
     def run(tok_offset: int, n: int) -> float:
         tok = (first + tok_offset) % vocab
         t0 = time.perf_counter()
-        toks, _ = eng._generate_fn(cache, eng.params, tok, pos, n_steps=n)
+        toks, _ = eng._generate_fn(cache, eng.params, tok, pos, cos_sin, n_steps=n)
         # device_get, not block_until_ready: over the axon tunnel only a
         # real transfer waits for remote execution to finish.
         jax.device_get(toks)

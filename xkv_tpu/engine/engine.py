@@ -86,10 +86,23 @@ class InferenceEngine:
         self._score_fn = jax.jit(self._score_impl, donate_argnums=donate)
 
     # ------------------------------------------------------------ internals
-    def _prefill_cos_sin(self, s: int) -> Tuple[jax.Array, jax.Array]:
+    def _rope_tables(self, s: int) -> Tuple[jax.Array, jax.Array]:
+        """Pure rope-table computation (safe inside jit traces)."""
         return rope_cos_sin(
-            jnp.arange(s), self.cfg.head_dim, self.cfg.rope_theta, self.cfg.rope_scaling
+            jnp.arange(s), self.cfg.head_dim, self.cfg.rope_theta,
+            self.cfg.rope_scaling,
         )
+
+    def _prefill_cos_sin(self, s: int) -> Tuple[jax.Array, jax.Array]:
+        """RoPE tables for prefill positions, computed ONCE per length and
+        kept on device as concrete arrays — recomputing 2*s*hd
+        transcendentals inside every decode call costs ~1 ms/step at 32K.
+        Only call OUTSIDE jit traces (tables become args to the jits)."""
+        if not hasattr(self, "_cos_sin_cache"):
+            self._cos_sin_cache = {}
+        if s not in self._cos_sin_cache:
+            self._cos_sin_cache[s] = jax.jit(lambda: self._rope_tables(s))()
+        return self._cos_sin_cache[s]
 
     def _prefill_impl(self, params, tokens):
         # Under a mesh, prefill uses the blockwise XLA path (pallas_call has
@@ -99,7 +112,7 @@ class InferenceEngine:
         logits, kvs = self._model.prefill(
             params, self.cfg, tokens, attention_impl=prefill_attention
         )
-        cos_p, sin_p = self._prefill_cos_sin(tokens.shape[1])
+        cos_p, sin_p = self._rope_tables(tokens.shape[1])
         if self.mode == "none":
             cache = build_uncompressed_cache(
                 kvs, self.cfg, cos_p, sin_p, self.tail_max,
@@ -137,16 +150,14 @@ class InferenceEngine:
             raise ValueError("refactorize requires mode='factored'")
         return self._refactorize_fn(cache)
 
-    def _decode_impl(self, cache, params, tokens, pos):
-        cos_sin = self._prefill_cos_sin(cache.prefill_len)
+    def _decode_impl(self, cache, params, tokens, pos, cos_sin):
         return self._model.decode_step(
             params, self.cfg, self.xkv, cache, tokens, pos, cos_sin,
             attention_impl=self.attention_impl, mesh=self.mesh,
         )
 
-    def _generate_impl(self, cache, params, first_token, start_pos, n_steps: int):
-        cos_sin = self._prefill_cos_sin(cache.prefill_len)
-
+    def _generate_impl(self, cache, params, first_token, start_pos, cos_sin,
+                       n_steps: int):
         # Only the mutable tail goes through the scan carry; the frozen
         # factors / dense prefill segments are closed over, so XLA treats
         # them as loop invariants instead of copying them every step.
@@ -176,11 +187,10 @@ class InferenceEngine:
         cache = cache.replace(tail_k=tail_k, tail_v=tail_v, tail_len=tail_len)
         return jnp.transpose(toks, (1, 0)), cache  # (b, n_steps)
 
-    def _score_impl(self, cache, params, tokens, start_pos):
+    def _score_impl(self, cache, params, tokens, start_pos, cos_sin):
         """Teacher-forced scoring: feed tokens[:, i] one at a time, return
         log-prob of each tokens[:, i+1] (perplexity RNN mode, reference
         `eval_perplexity_rnn.py:90-125`)."""
-        cos_sin = self._prefill_cos_sin(cache.prefill_len)
 
         def body(carry, token):
             tail_k, tail_v, tail_len, pos = carry
@@ -215,7 +225,10 @@ class InferenceEngine:
         return self._prefill_fn(self.params, tokens)
 
     def decode_step(self, cache, tokens, pos):
-        return self._decode_fn(cache, self.params, jnp.asarray(tokens, jnp.int32), pos)
+        cos_sin = self._prefill_cos_sin(cache.prefill_len)
+        return self._decode_fn(
+            cache, self.params, jnp.asarray(tokens, jnp.int32), pos, cos_sin
+        )
 
     def generate(
         self,
@@ -245,7 +258,10 @@ class InferenceEngine:
             # Segment the loop at tail capacity; a full tail is folded back
             # into the factors (periodic refactorization).
             n = min(remaining, self.tail_max)
-            rest, cache = self._generate_fn(cache, self.params, tok, pos, n_steps=n)
+            cos_sin = self._prefill_cos_sin(cache.prefill_len)
+            rest, cache = self._generate_fn(
+                cache, self.params, tok, pos, cos_sin, n_steps=n
+            )
             pieces.append(rest)
             tok = rest[:, -1]
             pos = pos + n
@@ -266,6 +282,7 @@ class InferenceEngine:
 
     def score(self, cache, tokens, start_pos):
         """Teacher-forced next-token log-probs; see `_score_impl`."""
+        cos_sin = self._prefill_cos_sin(cache.prefill_len)
         return self._score_fn(
-            cache, self.params, jnp.asarray(tokens, jnp.int32), start_pos
+            cache, self.params, jnp.asarray(tokens, jnp.int32), start_pos, cos_sin
         )
