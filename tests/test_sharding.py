@@ -142,3 +142,18 @@ def test_ring_attention_sliding_window():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_expert_parallel_moe_matches_dense():
+    from xkv_tpu.models import deepseek
+    from tests.test_deepseek_mla import MOE_CFG
+
+    params = deepseek.init_params(MOE_CFG, jax.random.PRNGKey(7), dtype=jnp.float32)
+    mlp = params["layers"][MOE_CFG.first_k_dense_replace]["mlp"]
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, MOE_CFG.hidden_size))
+    dense_out = deepseek._moe(mlp, MOE_CFG, x)
+    mesh = make_mesh(data=2, model=4)  # 4 experts over 4 shards
+    ep_out = deepseek.moe_expert_parallel(mlp, MOE_CFG, x, mesh, axis_name="model")
+    np.testing.assert_allclose(
+        np.asarray(ep_out), np.asarray(dense_out), rtol=2e-4, atol=2e-5
+    )

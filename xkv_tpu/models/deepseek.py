@@ -348,3 +348,69 @@ def decode_step(
 
     logits = unembed(params, cfg, h)
     return logits, cache.advance(ql)
+
+
+# ----------------------------------------------------------- expert parallel
+def moe_expert_parallel(
+    p: Params,
+    cfg: ModelConfig,
+    x: jax.Array,
+    mesh,
+    axis_name: str = "model",
+) -> jax.Array:
+    """Expert-parallel MoE: experts sharded over the mesh axis.
+
+    Each shard computes only its local experts' contributions (the routing
+    combine weights zero out non-top-k experts), then a psum over the axis
+    reduces partial outputs — the GSPMD-free shard_map formulation of EP.
+    Requires n_routed_experts % mesh.shape[axis_name] == 0.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    E = cfg.n_routed_experts
+    assert E % n == 0, f"{E} experts must divide axis size {n}"
+
+    b, s, d = x.shape
+    logits = (x @ p["router"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    topv = topv * cfg.routed_scaling_factor
+    combine = jnp.zeros_like(probs)
+    combine = jax.vmap(jax.vmap(lambda c, i, v: c.at[i].add(v)))(
+        combine, topi, topv
+    )
+
+    def local_fn(xe_l, wg_l, wu_l, wd_l, comb_l):
+        # wg_l etc: (E/n, d, f) local experts; comb_l: (b, s, E/n)
+        h = jnp.einsum("bsd,edf->ebsf", xe_l, wg_l)
+        u = jnp.einsum("bsd,edf->ebsf", xe_l, wu_l)
+        y = jnp.einsum("ebsf,efd->ebsd", jax.nn.silu(h) * u, wd_l)
+        out_local = jnp.einsum("ebsd,bse->bsd", y, comb_l.astype(y.dtype))
+        return jax.lax.psum(out_local, axis_name)
+
+    out = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(),  # x replicated
+            P(axis_name, None, None),
+            P(axis_name, None, None),
+            P(axis_name, None, None),
+            P(None, None, axis_name),  # combine columns by expert
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        x,
+        p["experts"]["w_gate"],
+        p["experts"]["w_up"],
+        p["experts"]["w_down"],
+        combine,
+    )
+    if "shared" in p:
+        out = out + _ffn(p["shared"], x)
+    return out.astype(x.dtype)
