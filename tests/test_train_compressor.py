@@ -37,6 +37,7 @@ def test_collector_shape(base_params, tokens):
 
 @pytest.mark.parametrize("kind,kwargs", [
     ("conv", {}),
+    ("enhanced", {"features": 16, "latent_features": 4}),
     ("dual1d", {}),
     ("identity", {}),
 ])
