@@ -313,3 +313,20 @@ def test_refactorize_grows_prefill_len(params, prompt):
     # still decodable
     logits, _ = eng.decode_step(cache2, tok, pos + 4)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_refactorize_int8_roundtrip(params, prompt):
+    """Refactorization dequantizes, re-SVDs, and requantizes int8 factors."""
+    cfg = xkv_cfg(group_size=2, rank_k=24, rank_v=24)
+    eng = make_engine(params, "factored", cfg, tail_max=4, factor_dtype="int8")
+    _, cache = eng.prefill(prompt)
+    tok = jnp.zeros((prompt.shape[0], 1), jnp.int32)
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    for i in range(4):
+        _, cache = eng.decode_step(cache, tok, pos + i)
+    cache2 = eng.refactorize(cache)
+    assert cache2.groups[0].k_us.dtype == jnp.int8
+    assert cache2.groups[0].k_scale is not None
+    assert cache2.prefill_len == prompt.shape[1] + 4
+    logits, _ = eng.decode_step(cache2, tok, pos + 4)
+    assert np.isfinite(np.asarray(logits)).all()
