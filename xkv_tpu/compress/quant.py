@@ -18,7 +18,7 @@ per-rank scale separate (applied to the rank-space accumulator t):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Modes:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -20,7 +20,7 @@ import os
 import random
 import string
 import uuid
-from typing import Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

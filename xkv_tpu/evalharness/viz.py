@@ -9,7 +9,7 @@ Matplotlib is imported lazily so headless eval runs don't pay for it.
 from __future__ import annotations
 
 import json
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -34,11 +34,7 @@ from xkv_tpu.cache import XKVCache, layer_group_index
 from xkv_tpu.configs import XKVConfig
 from xkv_tpu.models.config import ModelConfig
 from xkv_tpu.models.llama import rms_norm, unembed
-from xkv_tpu.ops.attention import (
-    NEG_INF,
-    PartialAttention,
-    merge_partials,
-)
+from xkv_tpu.ops.attention import NEG_INF, PartialAttention
 from xkv_tpu.ops.rope import apply_rope_interleaved, rope_cos_sin
 
 Params = Dict[str, Any]

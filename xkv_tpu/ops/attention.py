@@ -13,7 +13,7 @@ pre-RoPE-merge convention (`xKV/attn_patch/llama.py:38-53`).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

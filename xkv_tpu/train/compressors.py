@@ -17,7 +17,7 @@ WIP (SURVEY.md §2.4); these are working equivalents:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

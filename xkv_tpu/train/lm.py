@@ -8,7 +8,7 @@ downloading checkpoints (tests/test_accuracy_gate.py).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterator, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
