@@ -157,3 +157,29 @@ def test_expert_parallel_moe_matches_dense():
     np.testing.assert_allclose(
         np.asarray(ep_out), np.asarray(dense_out), rtol=2e-4, atol=2e-5
     )
+
+
+def test_pipeline_parallel_forward_matches_reference():
+    """GPipe-style stage-sharded forward == plain prefill logits."""
+    from xkv_tpu.parallel.pipeline import pipelined_forward
+    from xkv_tpu.models.llama import prefill as plain_prefill
+
+    cfg = tiny_llama_config(
+        num_layers=4, num_q_heads=4, num_kv_heads=2, head_dim=16,
+        hidden_size=64, intermediate_size=128,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, cfg.vocab_size, size=(4, 16)).astype(np.int32)
+
+    ref, _ = plain_prefill(params, cfg, jnp.asarray(tokens))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = jax.sharding.Mesh(devices, ("pipe",))
+    got = pipelined_forward(
+        params, cfg, jnp.asarray(tokens), mesh, axis_name="pipe",
+        num_microbatches=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
