@@ -59,8 +59,9 @@ def _lowrank_kernel(
     v_vt_ref,  # (1, rv, hkv*hd)
     k_scale_ref,  # (1, 1, hkv*hd) fp32 — int8 post-GEMM scale (ones if bf16)
     v_scale_ref,  # (1, 1, rv) fp32 — int8 per-rank scale (ones if bf16)
-    cos_ref,  # (block_s, hd)
-    sin_ref,  # (block_s, hd)
+    cos_ref,  # (block_s, hd/2) — half table (hd halves are duplicated);
+              # bf16 in production, fp32 with fp32 factors
+    sin_ref,  # (block_s, hd/2)
     o_ref,  # (1, hq, hd)
     lse_ref,  # (1, 8, hq) fp32  (sublane-padded)
     m_scratch,  # (hq, 128) fp32
@@ -96,13 +97,18 @@ def _lowrank_kernel(
         )  # (block_s, hkv*hd)
 
     # ---- RoPE on reconstructed keys (VPU); head_dim stays innermost ----
-    # fp32 elementwise: the VPU's native width (bf16 elementwise measured
-    # 1.6x SLOWER here due to pack/unpack).
-    cos = cos_ref[...].astype(jnp.float32)  # (block_s, hd)
-    sin = sin_ref[...].astype(jnp.float32)
+    # fp32 elementwise compute (VPU-native; bf16 elementwise measured 1.6x
+    # slower) from bf16 HALF tables: the hd halves of cos/sin are duplicated
+    # (HF cat([freqs, freqs])), so shipping (block_s, hd/2) bf16 instead of
+    # (block_s, hd) fp32 cuts RoPE-table HBM traffic 4x.
+    cos = cos_ref[...].astype(jnp.float32)[:, None, :]  # (block_s, 1, hd/2)
+    sin = sin_ref[...].astype(jnp.float32)[:, None, :]
     k_heads = k_pre.reshape(block_s, hkv, hd)
+    half = hd // 2
+    k1 = k_heads[..., :half]
+    k2 = k_heads[..., half:]
     k_rot = (
-        (k_heads * cos[:, None, :] + _rotate_half(k_heads) * sin[:, None, :])
+        jnp.concatenate([k1 * cos - k2 * sin, k2 * cos + k1 * sin], axis=-1)
         .reshape(block_s, hkv * hd)
         .astype(compute_dtype)
     )
@@ -207,6 +213,11 @@ def lowrank_decode_attention(
     rv = v_us.shape[2]
 
     block_s = min(block_s, s_p)
+    # Half rope tables (the hd halves are duplicated by construction); bf16
+    # storage in production dtypes, fp32 when the factors are fp32 (tests).
+    table_dtype = jnp.float32 if k_us.dtype == jnp.float32 else jnp.bfloat16
+    cos_p = cos_p[:, : hd // 2].astype(table_dtype)
+    sin_p = sin_p[:, : hd // 2].astype(table_dtype)
     # Zero-pad partial blocks (Pallas OOB reads are uninitialized memory).
     s_pad = pl.cdiv(s_p, block_s) * block_s
     if s_pad != s_p:
@@ -262,8 +273,8 @@ def lowrank_decode_attention(
             pl.BlockSpec((1, rv, hkv * hd), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, 1, hkv * hd), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, 1, rv), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((block_s, hd), lambda bi, si: (si, 0)),
-            pl.BlockSpec((block_s, hd), lambda bi, si: (si, 0)),
+            pl.BlockSpec((block_s, hd // 2), lambda bi, si: (si, 0)),
+            pl.BlockSpec((block_s, hd // 2), lambda bi, si: (si, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, hq, hd), lambda bi, si: (bi, 0, 0)),
