@@ -102,3 +102,29 @@ def test_more_requests_than_slots(params):
     done = be.run()
     assert len(done) == 5
     assert all(len(r.generated) == 3 for r in done)
+
+
+def test_batched_int8_factors(params):
+    """Int8-quantized factors work through the batched scheduler and match
+    the single-stream int8 engine."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(16,)).astype(np.int32)
+               for _ in range(2)]
+    n_new = 4
+    xkv = xkv_cfg()
+    singles = []
+    for p in prompts:
+        eng = InferenceEngine(
+            params, CFG, xkv=xkv, mode="factored", tail_max=n_new + 2,
+            cache_dtype=jnp.float32, factor_dtype="int8", donate_cache=False,
+        )
+        singles.append(np.asarray(eng.generate(p[None, :], n_new))[0].tolist())
+
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16], cache_dtype=jnp.float32, factor_dtype="int8",
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, expected in zip(ids, singles):
+        assert by_id[rid] == expected

@@ -69,10 +69,7 @@ class BatchedEngine:
     ):
         if cfg.model_type == "deepseek_v2":
             raise NotImplementedError("batched serving: llama family first")
-        if factor_dtype in ("int8", jnp.int8):
-            raise NotImplementedError(
-                "int8 factors in batched serving: use the single-stream engine"
-            )
+        self._quantized = factor_dtype in ("int8", jnp.int8)
         self.params = params
         self.cfg = cfg
         self.xkv = xkv
@@ -115,19 +112,27 @@ class BatchedEngine:
                 covered.update(grp.layers)
                 g = len(grp.layers)
                 kw = {}
+                f_dtype = jnp.int8 if self._quantized else self.factor_dtype
                 if xkv.layer_merge_impl == "svd" and xkv.merge_key:
-                    kw["k_us"] = jnp.zeros((B, S, grp.rank_k), self.factor_dtype)
+                    kw["k_us"] = jnp.zeros((B, S, grp.rank_k), f_dtype)
                     kw["k_vt"] = jnp.zeros(
-                        (B, grp.rank_k, g * hkv * hd), self.factor_dtype
+                        (B, grp.rank_k, g * hkv * hd), f_dtype
                     )
+                    if self._quantized:
+                        kw["k_scale"] = jnp.zeros(
+                            (B, 1, g * hkv * hd), jnp.float32
+                        )
                 else:
                     for l in grp.layers:
                         dense_k[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
                 if xkv.layer_merge_impl == "svd" and xkv.merge_value:
-                    kw["v_us"] = jnp.zeros((B, S, grp.rank_v), self.factor_dtype)
+                    kw["v_us"] = jnp.zeros((B, S, grp.rank_v), f_dtype)
                     kw["v_vt"] = jnp.zeros(
-                        (B, grp.rank_v, g * hkv * hd), self.factor_dtype
+                        (B, grp.rank_v, g * hkv * hd),
+                        jnp.bfloat16 if self._quantized else f_dtype,
                     )
+                    if self._quantized:
+                        kw["v_scale"] = jnp.zeros((B, 1, grp.rank_v), jnp.float32)
                 else:
                     for l in grp.layers:
                         dense_v[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
@@ -208,22 +213,23 @@ class BatchedEngine:
             src = _pad_to(src, self.s_max, axis=-2 if src.ndim == 4 else 1)
             return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=0)
 
+        def ins_field(dst, src, pad_axis=None):
+            if dst is None:
+                return None
+            if pad_axis is not None:
+                src = _pad_to(src, self.s_max, pad_axis)
+            return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=0)
+
         groups = []
         for gd, gs in zip(batch_cache.groups, cache1.groups):
             groups.append(
                 GroupFactors(
-                    k_us=None if gd.k_us is None else jax.lax.dynamic_update_slice_in_dim(
-                        gd.k_us, _pad_to(gs.k_us, self.s_max, 1), slot, axis=0
-                    ),
-                    k_vt=None if gd.k_vt is None else jax.lax.dynamic_update_slice_in_dim(
-                        gd.k_vt, gs.k_vt, slot, axis=0
-                    ),
-                    v_us=None if gd.v_us is None else jax.lax.dynamic_update_slice_in_dim(
-                        gd.v_us, _pad_to(gs.v_us, self.s_max, 1), slot, axis=0
-                    ),
-                    v_vt=None if gd.v_vt is None else jax.lax.dynamic_update_slice_in_dim(
-                        gd.v_vt, gs.v_vt, slot, axis=0
-                    ),
+                    k_us=ins_field(gd.k_us, gs.k_us, pad_axis=1),
+                    k_vt=ins_field(gd.k_vt, gs.k_vt),
+                    v_us=ins_field(gd.v_us, gs.v_us, pad_axis=1),
+                    v_vt=ins_field(gd.v_vt, gs.v_vt),
+                    k_scale=ins_field(gd.k_scale, gs.k_scale),
+                    v_scale=ins_field(gd.v_scale, gs.v_scale),
                 )
             )
         dense_k = {
