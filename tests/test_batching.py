@@ -128,3 +128,36 @@ def test_batched_int8_factors(params):
     by_id = {r.request_id: r.generated for r in be.run()}
     for rid, expected in zip(ids, singles):
         assert by_id[rid] == expected
+
+
+def test_batched_mla_matches_single_stream():
+    """MLA (DeepSeek-V2) through the batched scheduler matches the
+    single-stream MLA engine."""
+    from tests.test_deepseek_mla import CFG as MLA_CFG, latent_xkv
+    from xkv_tpu.models import deepseek
+
+    params = deepseek.init_params(MLA_CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    xkv = latent_xkv(group_size=2, rank=24)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, MLA_CFG.vocab_size, size=(n,)).astype(np.int32)
+               for n in (16, 12)]
+    n_new = 4
+
+    singles = []
+    for p in prompts:
+        eng = InferenceEngine(
+            params, MLA_CFG, xkv=xkv, mode="factored", tail_max=n_new + 2,
+            cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+            donate_cache=False,
+        )
+        singles.append(np.asarray(eng.generate(p[None, :], n_new))[0].tolist())
+
+    be = BatchedEngine(
+        params, MLA_CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, expected in zip(ids, singles):
+        assert by_id[rid] == expected

@@ -27,7 +27,6 @@ import numpy as np
 from xkv_tpu.cache import GroupFactors, XKVCache, init_tail
 from xkv_tpu.configs import XKVConfig
 from xkv_tpu.engine.compression import build_cache
-from xkv_tpu.models import llama
 from xkv_tpu.models.config import ModelConfig
 from xkv_tpu.ops.rope import rope_cos_sin
 
@@ -68,7 +67,14 @@ class BatchedEngine:
         factor_dtype=jnp.bfloat16,
     ):
         if cfg.model_type == "deepseek_v2":
-            raise NotImplementedError("batched serving: llama family first")
+            from xkv_tpu.models import deepseek as model_module
+
+            if xkv is not None and xkv.merge_value:
+                raise ValueError("DeepSeek MLA: pass merge_value=False")
+        else:
+            from xkv_tpu.models import llama as model_module
+        self._model = model_module
+        self._mla = cfg.model_type == "deepseek_v2"
         self._quantized = factor_dtype in ("int8", jnp.int8)
         self.params = params
         self.cfg = cfg
@@ -92,8 +98,9 @@ class BatchedEngine:
         self.queue: List[Request] = []
         self._next_id = 0
 
+        rope_dim = cfg.qk_rope_head_dim if self._mla else cfg.head_dim
         self._cos_sin = rope_cos_sin(
-            jnp.arange(self.s_max), cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
+            jnp.arange(self.s_max), rope_dim, cfg.rope_theta, cfg.rope_scaling
         )
         self._prefill_jit: Dict[int, any] = {}
         self._step_jit = jax.jit(self._step_impl)
@@ -103,7 +110,12 @@ class BatchedEngine:
     def _empty_batch_cache(self) -> XKVCache:
         cfg, xkv = self.cfg, self.xkv
         B, S = self.num_slots, self.s_max
-        hkv, hd = cfg.num_kv_heads, cfg.head_dim
+        if self._mla:
+            # MLA: K slot = shared latent (1 "head", kv_lora_rank wide);
+            # V slot = RoPE key (qk_rope_head_dim wide), never merged.
+            hkv, hd = 1, cfg.kv_lora_rank
+        else:
+            hkv, hd = cfg.num_kv_heads, cfg.head_dim
         groups = []
         dense_k, dense_v = {}, {}
         covered = set()
@@ -125,6 +137,10 @@ class BatchedEngine:
                 else:
                     for l in grp.layers:
                         dense_k[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
+                v_shape = (
+                    (B, 1, S, cfg.qk_rope_head_dim) if self._mla
+                    else (B, hkv, S, hd)
+                )
                 if xkv.layer_merge_impl == "svd" and xkv.merge_value:
                     kw["v_us"] = jnp.zeros((B, S, grp.rank_v), f_dtype)
                     kw["v_vt"] = jnp.zeros(
@@ -135,12 +151,16 @@ class BatchedEngine:
                         kw["v_scale"] = jnp.zeros((B, 1, grp.rank_v), jnp.float32)
                 else:
                     for l in grp.layers:
-                        dense_v[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
+                        dense_v[l] = jnp.zeros(v_shape, self.cache_dtype)
                 groups.append(GroupFactors(**kw))
         for l in range(cfg.num_layers):
             if l not in covered:
                 dense_k[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
-                dense_v[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
+                dense_v[l] = jnp.zeros(
+                    (B, 1, S, cfg.qk_rope_head_dim) if self._mla
+                    else (B, hkv, S, hd),
+                    self.cache_dtype,
+                )
         tail_k, tail_v = init_tail(cfg, B, self.tail_max, self.cache_dtype)
         return XKVCache(
             groups=tuple(groups),
@@ -170,7 +190,7 @@ class BatchedEngine:
         if bucket not in self._prefill_jit:
 
             def fn(params, toks, true_len):
-                logits, kvs = llama.prefill(
+                logits, kvs = self._model.prefill(
                     params, self.cfg, toks, attention_impl=self.attention_impl
                 )
                 mask = (jnp.arange(toks.shape[1]) < true_len)[
@@ -178,11 +198,13 @@ class BatchedEngine:
                 ]
                 kvs = [(k * mask, v * mask) for k, v in kvs]
                 cos_p, sin_p = (x[: toks.shape[1]] for x in self._cos_sin)
+                rope_k = not self._mla
                 if self.xkv is not None:
                     cache1 = build_cache(
                         kvs, self.xkv, self.cfg, cos_p, sin_p, tail_max=1,
                         factor_dtype=self.factor_dtype,
                         cache_dtype=self.cache_dtype,
+                        rope_dense_keys=rope_k,
                     )
                 else:
                     from xkv_tpu.engine.compression import (
@@ -192,6 +214,7 @@ class BatchedEngine:
                     cache1 = build_uncompressed_cache(
                         kvs, self.cfg, cos_p, sin_p, tail_max=1,
                         cache_dtype=self.cache_dtype,
+                        rope_dense_keys=rope_k,
                     )
                 first_logits = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, axis=0, keepdims=False
@@ -256,7 +279,7 @@ class BatchedEngine:
 
     # ------------------------------------------------------------ stepping
     def _step_impl(self, batch_cache, params, token, pos, prefill_len, tail_len):
-        logits, batch_cache = llama.decode_step_batched(
+        logits, batch_cache = self._model.decode_step_batched(
             params, self.cfg, self.xkv, batch_cache,
             token, pos, prefill_len, tail_len, self._cos_sin,
             attention_impl=self.attention_impl,

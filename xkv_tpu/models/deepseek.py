@@ -410,3 +410,126 @@ def moe_expert_parallel(
     if "shared" in p:
         out = out + _ffn(p["shared"], x)
     return out.astype(x.dtype)
+
+
+# ----------------------------------------------------------- batched decode
+def decode_step_batched(
+    params: Params,
+    cfg: ModelConfig,
+    xkv: Optional[XKVConfig],
+    cache: XKVCache,
+    tokens: jax.Array,       # (B,)
+    pos: jax.Array,          # (B,)
+    prefill_len: jax.Array,  # (B,)
+    tail_len: jax.Array,     # (B,)
+    prefill_cos_sin,
+    attention_impl: str = "xla",
+    mesh=None,
+) -> Tuple[jax.Array, XKVCache]:
+    """Absorbed MLA decode across B independent slots (continuous batching):
+    per-slot positions, prefill lengths (padded factors/latents masked), and
+    tail fill levels."""
+    b = tokens.shape[0]
+    scale = softmax_scale(cfg)
+    positions = pos[:, None]
+    cos, sin = rope_cos_sin(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
+                            cfg.rope_scaling)
+    grp_index = layer_group_index(xkv) if xkv is not None else {}
+
+    h = params["embed"][tokens[:, None]]
+    for li, layer in enumerate(params["layers"]):
+        resid = h
+        x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
+        ap = layer["attn"]
+        q_nope, q_pe = _q_heads(ap, cfg, x)
+        latent_new, k_pe_pre = _latent_and_kpe(ap, cfg, x)
+        q_pe = apply_rope_interleaved(q_pe, cos, sin)
+        k_pe_new = apply_rope_interleaved(k_pe_pre, cos, sin)
+
+        # per-slot tail writes
+        tk = jax.vmap(
+            lambda t, n, i: jax.lax.dynamic_update_slice(
+                t, n.astype(t.dtype), (0, i, 0)
+            )
+        )(cache.tail_k[li], latent_new, tail_len)
+        tv = jax.vmap(
+            lambda t, n, i: jax.lax.dynamic_update_slice(
+                t, n.astype(t.dtype), (0, i, 0)
+            )
+        )(cache.tail_v[li], k_pe_new, tail_len)
+        cache = cache.replace(
+            tail_k=cache.tail_k.at[li].set(tk), tail_v=cache.tail_v.at[li].set(tv)
+        )
+
+        w_uk, w_uv = _kv_b_split(ap, cfg)
+        q_abs = jnp.einsum("bhqd,hld->bhql", q_nope, w_uk,
+                           preferred_element_type=jnp.float32)
+
+        def norm_latent(z):
+            return rms_norm(z, ap["kv_a_norm"], 1e-6).astype(jnp.float32)
+
+        grp_info = grp_index.get(li)
+        gf = cache.groups[grp_info[0]] if grp_info is not None else None
+        if gf is not None and gf.k_us is not None:
+            gi, gpos = grp_info
+            width = cfg.kv_lora_rank
+            vt_l = jax.lax.slice_in_dim(
+                gf.k_vt, gpos * width, (gpos + 1) * width, axis=2
+            )
+            if gf.k_scale is not None:
+                from xkv_tpu.compress.quant import QuantizedKFactors, dequantize_k
+
+                sc_l = jax.lax.slice_in_dim(
+                    gf.k_scale, gpos * width, (gpos + 1) * width, axis=2
+                )
+                latent_p = dequantize_k(QuantizedKFactors(gf.k_us, vt_l, sc_l))
+            else:
+                latent_p = jnp.einsum("bsr,brl->bsl", gf.k_us, vt_l,
+                                      preferred_element_type=jnp.float32)
+            latent_p = norm_latent(latent_p)
+        else:
+            latent_p = norm_latent(cache.dense_k[li][:, 0])
+
+        s_p_len = latent_p.shape[1]
+        s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
+                              preferred_element_type=jnp.float32)
+        k_pe_p = cache.dense_v[li][:, 0].astype(jnp.float32)
+        s_pe_p = jnp.einsum("bhqd,bsd->bhqs", q_pe.astype(jnp.float32), k_pe_p,
+                            preferred_element_type=jnp.float32)
+        scores_p = (s_nope_p + s_pe_p) * scale
+        p_mask = (
+            jnp.arange(s_p_len)[None, :] < prefill_len[:, None]
+        )[:, None, None, :]
+        scores_p = jnp.where(p_mask, scores_p, NEG_INF)
+
+        latent_t = norm_latent(cache.tail_k[li][:, 0])
+        k_pe_t = cache.tail_v[li][:, 0].astype(jnp.float32)
+        s_nope_t = jnp.einsum("bhql,btl->bhqt", q_abs, latent_t,
+                              preferred_element_type=jnp.float32)
+        s_pe_t = jnp.einsum("bhqd,btd->bhqt", q_pe.astype(jnp.float32), k_pe_t,
+                            preferred_element_type=jnp.float32)
+        scores_t = (s_nope_t + s_pe_t) * scale
+        t_mask = (
+            jnp.arange(cache.tail_max)[None, :] < (tail_len + 1)[:, None]
+        )[:, None, None, :]
+        scores_t = jnp.where(t_mask, scores_t, NEG_INF)
+
+        scores = jnp.concatenate([scores_p, scores_t], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        # zero masked columns explicitly (fully-masked pad rows otherwise
+        # contribute garbage latents)
+        probs = probs * jnp.concatenate(
+            [p_mask, t_mask], axis=-1
+        ).astype(probs.dtype)
+        p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
+        lat_sum = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p) + jnp.einsum(
+            "bhqt,btl->bhql", p_tail, latent_t
+        )
+        attn = jnp.einsum("bhql,hlv->bhqv", lat_sum, w_uv.astype(jnp.float32))
+        attn = jnp.transpose(attn.astype(h.dtype), (0, 2, 1, 3)).reshape(b, 1, -1)
+        h = resid + attn @ ap["o_proj"]
+        h = h + _mlp(layer["mlp"], cfg, rms_norm(h, layer["post_norm"],
+                                                 cfg.rms_norm_eps))
+
+    logits = unembed(params, cfg, h)
+    return logits[:, 0], cache
