@@ -330,3 +330,42 @@ def test_refactorize_int8_roundtrip(params, prompt):
     assert cache2.prefill_len == prompt.shape[1] + 4
     logits, _ = eng.decode_step(cache2, tok, pos + 4)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_cache_save_load_roundtrip(params, prompt, tmp_path):
+    """Persisted compressed cache resumes decoding with identical logits."""
+    from xkv_tpu.engine.cache_io import load_cache, save_cache
+
+    cfg = xkv_cfg(group_size=2, rank_k=16, rank_v=16)
+    eng = make_engine(params, "factored", cfg)
+    _, cache = eng.prefill(prompt)
+    path = str(tmp_path / "session.npz")
+    save_cache(cache, path, metadata={"prompt_len": int(prompt.shape[1])})
+
+    # fresh engine in a "new process"
+    eng2 = make_engine(params, "factored", cfg)
+    _, like = eng2.prefill(prompt * 0)  # same shapes, different content
+    restored, meta = load_cache(path, like)
+    assert meta["prompt_len"] == prompt.shape[1]
+
+    tok = jnp.zeros((prompt.shape[0], 1), jnp.int32)
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    l_orig, _ = eng.decode_step(cache, tok, pos)
+    l_rest, _ = eng2.decode_step(restored, tok, pos)
+    np.testing.assert_array_equal(np.asarray(l_orig), np.asarray(l_rest))
+
+
+def test_cache_load_rejects_mismatched_config(params, prompt, tmp_path):
+    from xkv_tpu.engine.cache_io import load_cache, save_cache
+
+    cfg_a = xkv_cfg(group_size=2, rank_k=16, rank_v=16)
+    eng_a = make_engine(params, "factored", cfg_a)
+    _, cache_a = eng_a.prefill(prompt)
+    path = str(tmp_path / "a.npz")
+    save_cache(cache_a, path)
+
+    cfg_b = xkv_cfg(group_size=2, rank_k=8, rank_v=8)
+    eng_b = make_engine(params, "factored", cfg_b)
+    _, like_b = eng_b.prefill(prompt)
+    with pytest.raises(ValueError, match="mismatch"):
+        load_cache(path, like_b)
