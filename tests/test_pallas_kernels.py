@@ -77,7 +77,7 @@ def test_lowrank_decode_matches_xla_reference(s_p, block_s):
     b, hq, hkv, hd = 2, 4, 2, 32
     rk, rv = 24, 28
     g = 2  # group of 2 layers -> vt has 2*hkv*hd columns; slice one layer
-    q = rand(10, (b, hq, 1, hd))
+    q_pre = rand(10, (b, hq, 1, hd))
     k_us = rand(11, (b, s_p, rk))
     k_vt_full = rand(12, (b, rk, g * hkv * hd)) * 0.3
     v_us = rand(13, (b, s_p, rv))
@@ -87,11 +87,19 @@ def test_lowrank_decode_matches_xla_reference(s_p, block_s):
     cos, sin = rope_cos_sin(jnp.arange(s_p), hd, theta=10000.0)
     scale = 1.0 / math.sqrt(hd)
 
+    # decode query sits at position s_p; the XLA oracle takes the rotated
+    # query, the kernel takes the pre-RoPE query + its trig row
+    from xkv_tpu.ops.rope import apply_rope
+
+    cos_t, sin_t = rope_cos_sin(jnp.asarray([s_p]), hd, theta=10000.0)
+    q = apply_rope(q_pre, cos_t[None], sin_t[None])
+
     ref = factored_decode_attention_xla(
         q, k_us, k_vt, v_us, v_vt, cos, sin, scale, num_kv_heads=hkv
     )
     out, lse = lowrank_decode_attention(
-        q, k_us, k_vt, v_us, v_vt, cos, sin,
+        q_pre, k_us, k_vt, v_us, v_vt, cos, sin,
+        jnp.broadcast_to(cos_t, (b, hd)), jnp.broadcast_to(sin_t, (b, hd)),
         scale=scale, num_kv_heads=hkv, block_s=block_s, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref.out), rtol=1e-3, atol=1e-3)
@@ -120,10 +128,15 @@ def test_lowrank_plus_tail_merge_matches_full_attention():
 
     k_rot = apply_rope(k_full, cos[None], sin[None])
 
-    q = rand(22, (b, hq, 1, hd))
+    q_pre = rand(22, (b, hq, 1, hd))
     k_tail = rand(23, (b, hkv, s_t, hd))
     v_tail = rand(24, (b, hkv, s_t, hd))
     scale = 1.0 / math.sqrt(hd)
+
+    # decode query at position s_p + s_t (post-RoPE for the oracle + tail)
+    t = s_p + s_t
+    cos_t, sin_t = rope_cos_sin(jnp.asarray([t]), hd, theta=10000.0)
+    q = apply_rope(q_pre, cos_t[None], sin_t[None])
 
     # Oracle: single softmax over concatenated keys.
     k_cat = jnp.concatenate([k_rot, k_tail], axis=2)
@@ -131,7 +144,8 @@ def test_lowrank_plus_tail_merge_matches_full_attention():
     oracle = attention_partial(q, k_cat, v_cat, scale).out
 
     part_f = lowrank_decode_attention(
-        q, fac_k.us, fac_k.vt, fac_v.us, fac_v.vt, cos, sin,
+        q_pre, fac_k.us, fac_k.vt, fac_v.us, fac_v.vt, cos, sin,
+        jnp.broadcast_to(cos_t, (b, hd)), jnp.broadcast_to(sin_t, (b, hd)),
         scale=scale, num_kv_heads=hkv, block_s=32, interpret=True,
     )
     from xkv_tpu.ops.attention import PartialAttention, dense_decode_attention_xla

@@ -206,8 +206,8 @@ def decode_step(
     for li, layer in enumerate(params["layers"]):
         resid = h
         x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
-        q, k_new_pre, v_new = qkv_proj(layer["attn"], cfg, x)
-        q = apply_rope(q, cos, sin)
+        q_pre, k_new_pre, v_new = qkv_proj(layer["attn"], cfg, x)
+        q = apply_rope(q_pre, cos, sin)
         k_new = apply_rope(k_new_pre, cos, sin)
 
         cache = cache.append_tail(li, k_new, v_new)
@@ -236,6 +236,12 @@ def decode_step(
                 cos_p,
                 sin_p,
             )
+            # Pallas kernel takes the PRE-RoPE query + its position's trig
+            # row (relative-angle rotation happens in-kernel).
+            kernel_args = factored_args[1:] + (
+                jnp.broadcast_to(cos[:, -1, :], (b, cfg.head_dim)),
+                jnp.broadcast_to(sin[:, -1, :], (b, cfg.head_dim)),
+            )
             # Mosaic requires lane-aligned head_dim for the in-kernel
             # (block_s, hkv*hd) -> (block_s, hkv, hd) reshape; interpret
             # mode (non-TPU backends) has no such constraint.
@@ -252,7 +258,8 @@ def decode_step(
 
                 out_f, lse_f = lowrank_decode_attention_tp(
                     mesh,
-                    *factored_args,
+                    q_pre,
+                    *kernel_args,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
                     scale=scale,
@@ -265,7 +272,8 @@ def decode_step(
                 )
 
                 out_f, lse_f = lowrank_decode_attention(
-                    *factored_args,
+                    q_pre,
+                    *kernel_args,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
                     scale=scale,
@@ -364,8 +372,8 @@ def decode_step_batched(
     for li, layer in enumerate(params["layers"]):
         resid = h
         x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
-        q, k_new_pre, v_new = qkv_proj(layer["attn"], cfg, x)
-        q = apply_rope(q, cos, sin)
+        q_pre, k_new_pre, v_new = qkv_proj(layer["attn"], cfg, x)
+        q = apply_rope(q_pre, cos, sin)
         k_new = apply_rope(k_new_pre, cos, sin)
 
         # per-slot tail write at tail_len[b] (k_new/v_new: (B, hkv, 1, hd))
@@ -405,7 +413,7 @@ def decode_step_batched(
                 )
 
                 out_f, lse_f = lowrank_decode_attention(
-                    *fargs, prefill_len,
+                    q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :], prefill_len,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
                     scale=scale, num_kv_heads=cfg.num_kv_heads,

@@ -7,28 +7,56 @@ This kernel instead reads the cache *as factors*:
     K_layer = (k_us @ k_vt_layer)          (b, s_p, hkv*hd)   pre-RoPE
     V_layer = (v_us @ v_vt_layer)
 
-and reconstructs each sequence block **in VMEM**, applies RoPE to the
-reconstructed keys (the xKV convention: merge pre-RoPE, rotate after —
-`fake_layer_merge_dynamic_cache.py:142-152`), computes the score/value
-GEMMs, and accumulates with online softmax. Full K/V never exist in HBM.
+and reconstructs each sequence block **in VMEM**. Full K/V never exist in
+HBM.
+
+RoPE is applied in RELATIVE-ANGLE form. With HF half-split RoPE,
+``R_a^T R_b = R_{b-a}`` (per-frequency 2D rotations commute), so
+
+    score_p = RoPE(q, t) . RoPE(k_p, p)
+            = q . (k_p * cos((p-t)theta)) + [q2, -q1] . (k_p * sin((p-t)theta))
+
+where ``[q1, q2]`` are the query's head-dim halves. The kernel therefore
+never rotates K: it builds the two relative trig fields once per block from
+the static position tables and the query position's cos/sin row
+(angle-subtraction identity), multiplies the raw reconstructed block by
+each field (two full-width bf16 element passes — the minimum possible), and
+contracts against TWO query embeds. The int8 dequant scale and the 1/sqrt(hd)
+attention scale are folded into the query embeds outside the kernel, so the
+in-kernel element-wise work is exactly: one GEMM-output downcast + two
+multiplies. (The previous absolute-rotation kernel spent ~6 VPU passes per
+block on convert/scale/rotate/concat/cast and was 2x slower — measured via
+scripts/kernel_ablation.py on v5e.)
 
 HBM traffic per layer: s_p*(rk + rv) elements instead of s_p*2*hkv*hd —
 e.g. Llama-3.1-8B xKV-4 (rk=512, rv=768 vs 2*1024): 1.6x less bandwidth,
-8x less capacity.
+8x less capacity (16x with int8 factors).
 
-Performance notes:
-  * reconstruction matmuls run in the factors' dtype (bf16) with fp32
-    accumulation — MXU native;
-  * per-head work uses static column slices of the reconstructed block
-    (layout (block_s, hkv*hd) keeps head_dim innermost) — no transposes;
-  * softmax state is blockwise-parallel over (hkv*q_per_kv) rows.
+Other performance notes:
+  * reconstruction runs on the MXU in the factors' dtype: bf16 x bf16 or
+    int8 x int8 -> int32 (2x rate);
+  * per-head score structure comes from block-diagonally embedded queries —
+    one (hq, hkv*hd) x (hkv*hd, block_s) GEMM per trig field instead of hkv
+    tiny 4-row matmuls;
+  * the P @ V contraction runs in rank space: ``t += P @ v_us`` per block,
+    one final ``t @ v_vt`` projection (V has no RoPE, so this is exact and
+    cuts V FLOPs ~32x);
+  * relative trig fields are expanded to full (block_s, hkv*hd) width with
+    a lane-wise `pltpu.repeat` so every multiply is a packed 2D bf16 op
+    (3D broadcasts over an 8-sublane head axis measured 3x slower).
 
 Grid: (b, s_blocks); s_blocks is the online-softmax reduction. The small
-vt factors and RoPE tables have constant index maps, so Pallas keeps them
-resident in VMEM across blocks.
+vt factors have constant index maps, so Pallas keeps them resident in VMEM
+across blocks.
 
 Returns normalized output plus logsumexp so the caller can merge with the
 dense decode-tail segment (flash-decoding combine).
+
+The relative-angle identity requires position tables of the form
+cos(p * theta_c) with per-channel constant theta — true for Llama / Mistral
+/ Qwen2 rope (including Llama-3.1 frequency scaling, which rescales theta_c
+but keeps it position-independent). Parity with the absolute-rotation XLA
+path is pinned by tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
@@ -44,35 +72,39 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _rotate_half(x):
-    half = x.shape[-1] // 2
-    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+def _repeat_cols(x: jax.Array, reps: int, interpret: bool) -> jax.Array:
+    if reps == 1:
+        return x
+    if interpret:
+        return jnp.concatenate([x] * reps, axis=1)
+    return pltpu.repeat(x, reps, axis=1)
 
 
 def _lowrank_kernel(
-    q_ref,  # (1, hq, hkv*hd)  queries block-diagonally embedded (see wrapper)
+    qa_ref,  # (1, hq, hkv*hd)  q block-diag embed, scales folded (see wrapper)
+    qb_ref,  # (1, hq, hkv*hd)  [q2, -q1] embed, scales folded
     head_mask_ref,  # (hq, hkv*hd)  1.0 on own head's columns, else 0.0
     len_ref,  # (1, 1) int32 in SMEM — this sequence's valid prefill length
     k_us_ref,  # (1, block_s, rk)
     k_vt_ref,  # (1, rk, hkv*hd)
     v_us_ref,  # (1, block_s, rv)
     v_vt_ref,  # (1, rv, hkv*hd)
-    k_scale_ref,  # (1, 1, hkv*hd) fp32 — int8 post-GEMM scale (ones if bf16)
     v_scale_ref,  # (1, 1, rv) fp32 — int8 per-rank scale (ones if bf16)
-    cos_ref,  # (block_s, hd/2) — half table (hd halves are duplicated);
-              # bf16 in production, fp32 with fp32 factors
+    cos_ref,  # (block_s, hd/2) — half position table (hd halves are equal);
+              # bf16 in production dtypes, fp32 with fp32 factors
     sin_ref,  # (block_s, hd/2)
+    trig_t_ref,  # (1, 2, hd/2) fp32 — cos/sin at this sequence's query pos
     o_ref,  # (1, hq, hd)
     lse_ref,  # (1, 8, hq) fp32  (sublane-padded)
     m_scratch,  # (hq, 128) fp32
     l_scratch,  # (hq, 128) fp32
     t_scratch,  # (hq, rv) fp32 — rank-space value accumulator
     *,
-    scale: float,
     block_s: int,
     hkv: int,
     hd: int,
     quantized: bool,
+    interpret: bool,
 ):
     si = pl.program_id(1)
     num_s = pl.num_programs(1)
@@ -84,47 +116,44 @@ def _lowrank_kernel(
         t_scratch[...] = jnp.zeros_like(t_scratch)
 
     if quantized:
-        # int8 x int8 -> int32 MXU GEMM (2x bf16 rate), post-scaled per column.
         compute_dtype = jnp.bfloat16
+        # int8 x int8 -> int32 MXU GEMM (2x bf16 rate); downcast once. The
+        # per-column dequant scale lives in the query embeds.
         k_pre = jnp.dot(
             k_us_ref[0], k_vt_ref[0], preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * k_scale_ref[0]
+        ).astype(compute_dtype)
     else:
         compute_dtype = k_us_ref.dtype
-        # ---- reconstruct this block's pre-RoPE K in VMEM (one MXU matmul) ----
+        # Mosaic matmul must emit fp32; downcast once (fused with the GEMM
+        # epilogue where possible).
         k_pre = jnp.dot(
             k_us_ref[0], k_vt_ref[0], preferred_element_type=jnp.float32
-        )  # (block_s, hkv*hd)
+        ).astype(compute_dtype)  # (block_s, hkv*hd) pre-RoPE
 
-    # ---- RoPE on reconstructed keys (VPU); head_dim stays innermost ----
-    # fp32 elementwise compute (VPU-native; bf16 elementwise measured 1.6x
-    # slower) from bf16 HALF tables: the hd halves of cos/sin are duplicated
-    # (HF cat([freqs, freqs])), so shipping (block_s, hd/2) bf16 instead of
-    # (block_s, hd) fp32 cuts RoPE-table HBM traffic 4x.
-    cos = cos_ref[...].astype(jnp.float32)[:, None, :]  # (block_s, 1, hd/2)
-    sin = sin_ref[...].astype(jnp.float32)[:, None, :]
-    k_heads = k_pre.reshape(block_s, hkv, hd)
-    half = hd // 2
-    k1 = k_heads[..., :half]
-    k2 = k_heads[..., half:]
-    k_rot = (
-        jnp.concatenate([k1 * cos - k2 * sin, k2 * cos + k1 * sin], axis=-1)
-        .reshape(block_s, hkv * hd)
-        .astype(compute_dtype)
-    )
+    # ---- relative trig fields (angle-subtraction identity, fp32) ----
+    cos_p = cos_ref[...].astype(jnp.float32)  # (block_s, hd/2)
+    sin_p = sin_ref[...].astype(jnp.float32)
+    cos_t = trig_t_ref[0, 0:1, :].astype(jnp.float32)  # (1, hd/2)
+    sin_t = trig_t_ref[0, 1:2, :].astype(jnp.float32)
+    cos_rel = (cos_p * cos_t + sin_p * sin_t).astype(compute_dtype)
+    sin_rel = (sin_p * cos_t - cos_p * sin_t).astype(compute_dtype)
+    m = hkv * hd
+    reps = m // cos_rel.shape[1]
+    cos_w = _repeat_cols(cos_rel, reps, interpret)  # (block_s, hkv*hd)
+    sin_w = _repeat_cols(sin_rel, reps, interpret)
 
-    # ---- scores for ALL query heads in one GEMM ----
-    # q is embedded block-diagonally: row (g, j) holds q_{g,j} in columns
-    # [g*hd, (g+1)*hd) and zeros elsewhere, so q_emb @ k_rot^T computes each
-    # head's scores against its own kv head only. One (hq, hkv*hd) x
-    # (hkv*hd, block_s) GEMM instead of hkv tiny 4-row matmuls.
+    # ---- scores: two packed 2D multiplies + two GEMMs over all q heads ----
+    a = k_pre * cos_w
+    b2 = k_pre * sin_w
     s = jax.lax.dot_general(
-        q_ref[0].astype(compute_dtype),
-        k_rot,
+        qa_ref[0].astype(compute_dtype), a,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (hq, block_s)
-    s = s * scale
+    ) + jax.lax.dot_general(
+        qb_ref[0].astype(compute_dtype), b2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (hq, block_s); attention scale + int8 scale folded into qa/qb
     col_mask = (
         si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
     ) < len_ref[0, 0]
@@ -156,7 +185,7 @@ def _lowrank_kernel(
 
     @pl.when(si == num_s - 1)
     def _store():
-        m = m_scratch[...][:, :1]
+        m_fin = m_scratch[...][:, :1]
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         # Final projection through the shared V^T basis; block-diagonal
@@ -173,7 +202,7 @@ def _lowrank_kernel(
             (o_full * head_mask_ref[...]).reshape(o_full.shape[0], hkv, hd), axis=1
         )
         o_ref[0] = o_curr.astype(o_ref.dtype)
-        lse = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]  # (hq,)
+        lse = (m_fin + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]  # (hq,)
         lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
@@ -181,13 +210,15 @@ def _lowrank_kernel(
     jax.jit, static_argnames=("scale", "num_kv_heads", "block_s", "interpret")
 )
 def lowrank_decode_attention(
-    q: jax.Array,  # (b, hq, 1, hd) post-RoPE decode queries
+    q_pre: jax.Array,  # (b, hq, 1, hd) PRE-RoPE decode queries
     k_us: jax.Array,  # (b, s_p, rk)
     k_vt_slice: jax.Array,  # (b, rk, hkv*hd) — this layer's V^T columns
     v_us: jax.Array,  # (b, s_p, rv)
     v_vt_slice: jax.Array,  # (b, rv, hkv*hd)
-    cos_p: jax.Array,  # (s_p, hd)
+    cos_p: jax.Array,  # (s_p, hd) prefill-position tables
     sin_p: jax.Array,  # (s_p, hd)
+    cos_t: jax.Array,  # (b, hd) cos at each sequence's query position
+    sin_t: jax.Array,  # (b, hd)
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill length per seq
     k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 K scale
     v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv) int8 V scale
@@ -199,25 +230,29 @@ def lowrank_decode_attention(
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused factored-cache decode attention for one layer.
 
+    Takes the PRE-RoPE query plus its position's cos/sin row; rotation
+    happens in relative-angle form inside the kernel (module docstring).
+
     Returns (out (b, hq, 1, hd), lse (b, hq, 1)) — a PartialAttention pair
     mergeable with the dense tail segment.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, hq, ql, hd = q.shape
+    b, hq, ql, hd = q_pre.shape
     assert ql == 1, "decode kernel is single-token (tail handles the rest)"
     hkv = num_kv_heads
     q_per_kv = hq // hkv
     s_p = k_us.shape[1]
-    rk = k_us.shape[2]
     rv = v_us.shape[2]
+    half = hd // 2
+    m = hkv * hd
 
     block_s = min(block_s, s_p)
-    # Half rope tables (the hd halves are duplicated by construction); bf16
+    # Half position tables (the hd halves are equal by construction); bf16
     # storage in production dtypes, fp32 when the factors are fp32 (tests).
     table_dtype = jnp.float32 if k_us.dtype == jnp.float32 else jnp.bfloat16
-    cos_p = cos_p[:, : hd // 2].astype(table_dtype)
-    sin_p = sin_p[:, : hd // 2].astype(table_dtype)
+    cos_p = cos_p[:, :half].astype(table_dtype)
+    sin_p = sin_p[:, :half].astype(table_dtype)
     # Zero-pad partial blocks (Pallas OOB reads are uninitialized memory).
     s_pad = pl.cdiv(s_p, block_s) * block_s
     if s_pad != s_p:
@@ -227,54 +262,65 @@ def lowrank_decode_attention(
         sin_p = jnp.pad(sin_p, ((0, s_pad - s_p), (0, 0)))
     grid_s = s_pad // block_s
 
-    # Block-diagonal embedding of q: row (g, j) -> columns [g*hd, (g+1)*hd).
-    q3 = q[:, :, 0, :]  # (b, hq, hd)
+    # Per-sequence query-position trig rows (half width, fp32).
+    trig_t = jnp.stack(
+        [cos_t[:, :half], sin_t[:, :half]], axis=1
+    ).astype(jnp.float32)  # (b, 2, hd/2)
+
+    # Block-diagonal embedding of the two query forms: row (g, j) ->
+    # columns [g*hd, (g+1)*hd). qa carries q, qb carries [q2, -q1] (the
+    # sin-field partner); both get the attention scale and (int8) per-column
+    # dequant scale folded in, in fp32 before the bf16 cast.
+    q3 = q_pre[:, :, 0, :].astype(jnp.float32)  # (b, hq, hd)
+    qb3 = jnp.concatenate([q3[..., half:], -q3[..., :half]], axis=-1)
     head_ids = jnp.repeat(jnp.arange(hkv), q_per_kv)  # (hq,)
     col_head = jnp.repeat(jnp.arange(hkv), hd)  # (hkv*hd,)
-    head_mask = (head_ids[:, None] == col_head[None, :]).astype(q.dtype)  # (hq, m)
-    q_emb = jnp.tile(q3, (1, 1, hkv)) * head_mask[None]  # (b, hq, hkv*hd)
+    head_mask = (head_ids[:, None] == col_head[None, :]).astype(q_pre.dtype)
+    fold = scale
+    quantized = k_us.dtype == jnp.int8
+    if quantized:
+        assert k_scale_slice is not None and v_rank_scale is not None
+        fold = fold * k_scale_slice.astype(jnp.float32)  # (b, 1, m)
+        v_rank_scale = v_rank_scale.astype(jnp.float32)
+    else:
+        v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
+    emb_dtype = q_pre.dtype if q_pre.dtype != jnp.float32 else jnp.float32
+    qa_emb = (jnp.tile(q3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
+    qb_emb = (jnp.tile(qb3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
     lengths = lengths.reshape(b, 1).astype(jnp.int32)
 
-    quantized = k_us.dtype == jnp.int8
-    if quantized:
-        assert k_scale_slice is not None and v_rank_scale is not None
-        k_scale_slice = k_scale_slice.astype(jnp.float32)
-        v_rank_scale = v_rank_scale.astype(jnp.float32)
-    else:
-        k_scale_slice = jnp.ones((b, 1, hkv * hd), jnp.float32)
-        v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
-
     kernel = functools.partial(
         _lowrank_kernel,
-        scale=scale,
         block_s=block_s,
         hkv=hkv,
         hd=hd,
         quantized=quantized,
+        interpret=interpret,
     )
 
     out, lse = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, hq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, hd), q_pre.dtype),
             jax.ShapeDtypeStruct((b, 8, hq), jnp.float32),
         ),
         grid=(b, grid_s),
         in_specs=[
-            pl.BlockSpec((1, hq, hkv * hd), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((hq, hkv * hd), lambda bi, si: (0, 0)),
+            pl.BlockSpec((1, hq, m), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, hq, m), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((hq, m), lambda bi, si: (0, 0)),
             pl.BlockSpec((1, 1), lambda bi, si: (bi, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
-            pl.BlockSpec((1, rk, hkv * hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, block_s, k_us.shape[2]), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, k_us.shape[2], m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
-            pl.BlockSpec((1, rv, hkv * hd), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, hkv * hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, rv, m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, 1, rv), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((block_s, hd // 2), lambda bi, si: (si, 0)),
-            pl.BlockSpec((block_s, hd // 2), lambda bi, si: (si, 0)),
+            pl.BlockSpec((block_s, half), lambda bi, si: (si, 0)),
+            pl.BlockSpec((block_s, half), lambda bi, si: (si, 0)),
+            pl.BlockSpec((1, 2, half), lambda bi, si: (bi, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, hq, hd), lambda bi, si: (bi, 0, 0)),
@@ -292,21 +338,23 @@ def lowrank_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice,
-      k_scale_slice, v_rank_scale, cos_p, sin_p)
+    )(qa_emb, qb_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice,
+      v_rank_scale, cos_p, sin_p, trig_t)
 
     return out[:, :, None, :], lse[:, 0, :, None]
 
 
 def lowrank_decode_attention_tp(
     mesh,
-    q: jax.Array,  # (b, hq, 1, hd)
+    q_pre: jax.Array,  # (b, hq, 1, hd) PRE-RoPE
     k_us: jax.Array,  # (b, s_p, rk)
     k_vt_slice: jax.Array,  # (b, rk, hkv*hd) — already layer-sliced
     v_us: jax.Array,
     v_vt_slice: jax.Array,
     cos_p: jax.Array,
     sin_p: jax.Array,
+    cos_t: jax.Array,  # (b, hd)
+    sin_t: jax.Array,  # (b, hd)
     lengths: Optional[jax.Array] = None,
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
@@ -336,7 +384,7 @@ def lowrank_decode_attention_tp(
     n = mesh.shape[model_axis]
     hkv_local = num_kv_heads // n
     assert num_kv_heads % n == 0, "kv heads must divide the model axis"
-    b = q.shape[0]
+    b = q_pre.shape[0]
     s_p = k_us.shape[1]
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
@@ -347,9 +395,10 @@ def lowrank_decode_attention_tp(
         k_scale_slice = jnp.ones((b, 1, k_vt_slice.shape[2]), jnp.float32)
         v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
 
-    def local(q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, lens, ks_l, vs_l):
+    def local(q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint, lens,
+              ks_l, vs_l):
         return lowrank_decode_attention(
-            q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, lens,
+            q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint, lens,
             k_scale_slice=ks_l if quantized else None,
             v_rank_scale=vs_l if quantized else None,
             scale=scale, num_kv_heads=hkv_local, block_s=block_s,
@@ -368,12 +417,14 @@ def lowrank_decode_attention_tp(
             P(None, None, model_axis),  # v_vt columns by kv head
             rep,
             rep,
+            rep,  # cos_t
+            rep,  # sin_t
             rep,  # lengths
             P(None, None, model_axis),  # k_scale columns by kv head
             rep,  # v_rank_scale (rank space, shared)
         ),
         out_specs=(P(None, model_axis, None, None), P(None, model_axis, None)),
         check_vma=False,
-    )(q, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p, lengths,
-      k_scale_slice, v_rank_scale)
+    )(q_pre, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p, cos_t, sin_t,
+      lengths, k_scale_slice, v_rank_scale)
     return out, lse
