@@ -1,17 +1,27 @@
-"""Benchmark: decode throughput with the xKV factored cache vs uncompressed.
+"""Benchmark: serving decode throughput with the xKV factored cache.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline`` is the speedup of factored-cache decode over the
-uncompressed-cache baseline on the same hardware/model (the reference never
-measured decode throughput — efficiency eval is an unreleased roadmap item,
-reference README.md:139-141 — so the baseline is the uncompressed cache, per
+``vs_baseline`` is the speedup of factored-cache serving throughput over the
+uncompressed-cache baseline on the same chip (the reference never measured
+decode throughput — efficiency eval is an unreleased roadmap item, reference
+README.md:139-141 — so the baseline is the uncompressed cache, per
 BASELINE.md's north star: >= 2x decode tokens/s).
+
+Methodology (north-star metric is tokens/s **per chip**): each mode runs at
+its own best batch size that fits HBM — that is the serving value of an
+8-16x smaller cache. The dense baseline tops out where its KV cache fills
+the chip; the factored cache keeps admitting sequences. Both modes prefill
+ONE sequence and tile the compressed/dense cache across slots (decode cost
+is content-independent), then time steady-state batched decode steps.
+``--matched`` instead compares both modes at the same batch (kernel-level
+comparison; the capacity advantage is excluded).
 
 Model geometry: Llama-3.1-8B per-layer shape (hidden 4096, 32 q heads,
 8 KV heads, head_dim 128) truncated to fit one chip; xKV-4 ranks
-rank_k=512 / rank_v=768 (8x KV compression, reference README.md:87-88).
+rank_k=512 / rank_v=768 (8x KV compression, reference README.md:87-88;
+int8 factors double that).
 """
 
 import argparse
@@ -22,9 +32,8 @@ import jax
 import jax.numpy as jnp
 
 
-def build(cfg_kind: str, ctx: int, layers: int, tail: int, batch: int):
+def build(cfg_kind: str, ctx: int, layers: int, tail: int):
     from xkv_tpu.configs import generate_consecutive_xkv_config
-    from xkv_tpu.engine import InferenceEngine
     from xkv_tpu.models.config import ModelConfig
     from xkv_tpu.models.llama import init_params
 
@@ -58,11 +67,11 @@ def build(cfg_kind: str, ctx: int, layers: int, tail: int, batch: int):
         rank_k=rank_k, rank_v=rank_v,
     )
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, ctx), 0, cfg.vocab_size)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (1, ctx), 0, cfg.vocab_size)
     return cfg, xkv, params, prompt
 
 
-def measure_decode(eng, prompt, steps: int) -> float:
+def measure_decode(eng, prompt, batch: int, steps: int) -> float:
     """Steady-state decode tokens/s via paired-length measurement.
 
     Two quirks of this TPU tunnel demand care: (1) identical
@@ -73,7 +82,12 @@ def measure_decode(eng, prompt, steps: int) -> float:
     """
     logits, cache = eng.prefill(prompt)
     jax.block_until_ready(logits)
-    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    first1 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)  # (1,)
+    if batch > 1:
+        cache = cache.tile_batch(batch)
+    # Distinct token per slot AND per timed run (tunnel memoization).
+    first = (first1[0] + jnp.arange(batch, dtype=jnp.int32)) % eng.cfg.vocab_size
+    cache = jax.block_until_ready(jax.jit(lambda c: c)(cache))
     pos = jnp.asarray(prompt.shape[1], jnp.int32)
     vocab = eng.cfg.vocab_size
 
@@ -93,7 +107,7 @@ def measure_decode(eng, prompt, steps: int) -> float:
     t1 = min(run(3, steps), run(5, steps))
     t2 = min(run(4, 2 * steps), run(6, 2 * steps))
     per_step = max((t2 - t1) / steps, 1e-9)
-    return prompt.shape[0] / per_step
+    return batch / per_step
 
 
 def main():
@@ -102,7 +116,18 @@ def main():
     ap.add_argument("--ctx", type=int, default=None)
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--steps", type=int, default=32)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--matched", action="store_true",
+                    help="same batch for both modes (kernel comparison) "
+                    "instead of best-batch-per-mode serving throughput")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="batch for --matched mode (default 1)")
+    ap.add_argument("--batch-factored", type=int, default=None,
+                    help="serving batch for the factored cache")
+    ap.add_argument("--batch-dense", type=int, default=None,
+                    help="serving batch for the dense baseline (its max "
+                    "fitting batch at this ctx)")
+    ap.add_argument("--only", default=None, choices=["factored", "none"],
+                    help="measure one mode and print its tokens/s (sweeps)")
     ap.add_argument("--attention-impl", default=None, choices=["xla", "pallas"])
     ap.add_argument("--factor-dtype", default="int8", choices=["bf16", "int8"],
                     help="low-rank factor storage (int8 = quantized cache)")
@@ -120,30 +145,55 @@ def main():
     else:
         attention_impl = args.attention_impl
 
-    cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail, args.batch)
+    # Serving defaults (v5e 16 GB, 8-layer 8B geometry @32K): the dense
+    # cache (1.07 GB/seq) + weights tops out at batch 8; the int8 factored
+    # cache (~0.1 GB/seq) runs batch 48 with room to spare.
+    if args.quick:
+        b_fact = args.batch_factored or 8
+        b_dense = args.batch_dense or 8
+    else:
+        b_fact = args.batch_factored or 48
+        b_dense = args.batch_dense or 8
+    if args.matched:
+        b_fact = b_dense = args.batch or 1
 
-    import jax.numpy as jnp
+    cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail)
 
     factor_dtype = "int8" if args.factor_dtype == "int8" else jnp.bfloat16
-    eng_fact = InferenceEngine(
-        params, cfg, xkv=xkv, mode="factored", tail_max=tail,
-        attention_impl=attention_impl, donate_cache=False,
-        factor_dtype=factor_dtype,
-    )
-    tps_fact = measure_decode(eng_fact, prompt, steps)
+    tps_fact = tps_none = None
+    if args.only in (None, "factored"):
+        eng_fact = InferenceEngine(
+            params, cfg, xkv=xkv, mode="factored", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            factor_dtype=factor_dtype, prefill_logits="last",
+        )
+        tps_fact = measure_decode(eng_fact, prompt, b_fact, steps)
+        del eng_fact
+    if args.only in (None, "none"):
+        eng_none = InferenceEngine(
+            params, cfg, mode="none", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            prefill_logits="last",
+        )
+        tps_none = measure_decode(eng_none, prompt, b_dense, steps)
 
-    eng_none = InferenceEngine(
-        params, cfg, mode="none", tail_max=tail, attention_impl=attention_impl,
-        donate_cache=False,
-    )
-    tps_none = measure_decode(eng_none, prompt, steps)
+    if args.only:
+        tps = tps_fact if args.only == "factored" else tps_none
+        b = b_fact if args.only == "factored" else b_dense
+        print(json.dumps({"mode": args.only, "batch": b,
+                          "tokens_per_s": round(tps, 2)}))
+        return
 
+    mode_desc = (
+        f"matched batch {b_fact}" if args.matched
+        else f"serving, batch {b_fact} vs dense max {b_dense}"
+    )
     print(
         json.dumps(
             {
                 "metric": f"decode tokens/s/chip @ {ctx} ctx, 8x KV compression "
                 f"({kind} geometry, {cfg.num_layers} layers, {attention_impl}, "
-                f"{args.factor_dtype} factors)",
+                f"{args.factor_dtype} factors, {mode_desc})",
                 "value": round(tps_fact, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(tps_fact / tps_none, 3),

@@ -161,3 +161,48 @@ def test_batched_mla_matches_single_stream():
     by_id = {r.request_id: r.generated for r in be.run()}
     for rid, expected in zip(ids, singles):
         assert by_id[rid] == expected
+
+
+def test_batched_refactorization_extends_generation(params):
+    """When a slot's tail fills, the tail folds back into the slot's
+    factors in place (rows beyond prefill_len are free zero rows) and
+    generation continues. With a full-rank (lossless) factorization the
+    output must match the uncompressed baseline across fold boundaries."""
+    full_rank = 2 * CFG.num_kv_heads * CFG.head_dim  # lossless for group of 2
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1, group_size=2,
+        rank_k=full_rank, rank_v=full_rank, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(12,)).astype(np.int32)
+               for _ in range(2)]
+    n_new = 10  # > 2 folds at tail_max=4
+
+    expected = reference_outputs(params, prompts, n_new)  # uncompressed
+
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=32, tail_max=4,
+        prefill_buckets=[16], cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, exp in zip(ids, expected):
+        assert len(by_id[rid]) == n_new
+        assert by_id[rid] == exp
+
+
+def test_batched_capacity_finish(params):
+    """A slot whose row capacity is exhausted finishes early instead of
+    corrupting rows (plen + tail_max would exceed s_max)."""
+    xkv = xkv_cfg()
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, CFG.vocab_size, size=(16,)).astype(np.int32)
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=1, s_max=16, tail_max=4,
+        prefill_buckets=[16], cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+    )
+    be.submit(prompt, 50)  # wants far more than capacity
+    done = be.run()
+    assert len(done) == 1
+    # prefill fills s_max exactly -> no fold possible -> tail only
+    assert len(done[0].generated) <= 1 + be.tail_max

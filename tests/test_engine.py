@@ -369,3 +369,19 @@ def test_cache_load_rejects_mismatched_config(params, prompt, tmp_path):
     _, like_b = eng_b.prefill(prompt)
     with pytest.raises(ValueError, match="mismatch"):
         load_cache(path, like_b)
+
+
+def test_prefill_last_logits_matches_full(params, prompt):
+    """prefill_logits='last' unembeds only the final position — identical
+    values to the full unembed's last row, (b, 1, V)-shaped."""
+    cfg = xkv_cfg()
+    eng_all = make_engine(params, "factored", cfg)
+    eng_last = make_engine(params, "factored", cfg, prefill_logits="last")
+    la, ca = eng_all.prefill(prompt)
+    ll, cl = eng_last.prefill(prompt)
+    assert ll.shape == (prompt.shape[0], 1, la.shape[-1])
+    np.testing.assert_allclose(np.asarray(ll[:, 0]), np.asarray(la[:, -1]),
+                               rtol=1e-6, atol=1e-6)
+    # caches are unaffected
+    np.testing.assert_allclose(np.asarray(cl.groups[0].k_us),
+                               np.asarray(ca.groups[0].k_us), rtol=1e-6)

@@ -100,6 +100,34 @@ class XKVCache:
     def advance(self, n: int = 1) -> "XKVCache":
         return self.replace(tail_len=self.tail_len + n)
 
+    def tile_batch(self, n: int) -> "XKVCache":
+        """Replicate a batch-1 cache to batch ``n`` (serving warm-start /
+        throughput benchmarking). Groups and dense segments carry batch on
+        axis 0, the tail on axis 1."""
+
+        def rep(x, axis):
+            if x is None:
+                return None
+            reps = [1] * x.ndim
+            reps[axis] = n
+            return jnp.tile(x, reps)
+
+        groups = tuple(
+            GroupFactors(
+                k_us=rep(g.k_us, 0), k_vt=rep(g.k_vt, 0),
+                v_us=rep(g.v_us, 0), v_vt=rep(g.v_vt, 0),
+                k_scale=rep(g.k_scale, 0), v_scale=rep(g.v_scale, 0),
+            )
+            for g in self.groups
+        )
+        return self.replace(
+            groups=groups,
+            dense_k={l: rep(a, 0) for l, a in self.dense_k.items()},
+            dense_v={l: rep(a, 0) for l, a in self.dense_v.items()},
+            tail_k=rep(self.tail_k, 1),
+            tail_v=rep(self.tail_v, 1),
+        )
+
     # ------------------------------------------------------------- memory
     def num_cache_bytes(self) -> int:
         """Bytes held for prefill KV (factors incl. scales + dense),

@@ -105,6 +105,13 @@ class BatchedEngine:
         self._prefill_jit: Dict[int, any] = {}
         self._step_jit = jax.jit(self._step_impl)
         self._insert_jit = jax.jit(self._insert_impl, static_argnames=("s_bucket",))
+        self._refactor_jit = jax.jit(self._refactor_impl)
+        # Per-slot refactorization only exists for the factored-SVD cache.
+        self._can_refactor = (
+            xkv is not None
+            and xkv.layer_merge_impl == "svd"
+            and (xkv.merge_key or xkv.merge_value)
+        )
 
     # ------------------------------------------------------------ structure
     def _empty_batch_cache(self) -> XKVCache:
@@ -190,8 +197,12 @@ class BatchedEngine:
         if bucket not in self._prefill_jit:
 
             def fn(params, toks, true_len):
+                # Unembed only the last valid position — the full
+                # (1, bucket, vocab) fp32 logits would dominate admission
+                # memory at long buckets (4.2 GB at 32K x 32000).
                 logits, kvs = self._model.prefill(
-                    params, self.cfg, toks, attention_impl=self.attention_impl
+                    params, self.cfg, toks, attention_impl=self.attention_impl,
+                    logits_position=true_len - 1,
                 )
                 mask = (jnp.arange(toks.shape[1]) < true_len)[
                     None, None, :, None
@@ -216,10 +227,7 @@ class BatchedEngine:
                         cache_dtype=self.cache_dtype,
                         rope_dense_keys=rope_k,
                     )
-                first_logits = jax.lax.dynamic_index_in_dim(
-                    logits[0], true_len - 1, axis=0, keepdims=False
-                )
-                return first_logits, cache1
+                return logits[0, 0], cache1
 
             self._prefill_jit[bucket] = jax.jit(fn)
         first_logits, cache1 = self._prefill_jit[bucket](
@@ -277,6 +285,11 @@ class BatchedEngine:
             tail_k=tail_k, tail_v=tail_v,
         )
 
+    def _refactor_impl(self, batch_cache, slot, plen):
+        from xkv_tpu.engine.compression import refactorize_slot_cache
+
+        return refactorize_slot_cache(batch_cache, self.xkv, self.cfg, slot, plen)
+
     # ------------------------------------------------------------ stepping
     def _step_impl(self, batch_cache, params, token, pos, prefill_len, tail_len):
         logits, batch_cache = self._model.decode_step_batched(
@@ -323,10 +336,30 @@ class BatchedEngine:
         if (
             len(req.generated) >= req.max_new_tokens
             or (self.eos_token_id is not None and last == self.eos_token_id)
-            or self.tail_len[slot] >= self.tail_max - 1
         ):
             req.done = True
             del self.slot_request[slot]
+
+    def _handle_full_tail(self, slot: int):
+        """A slot whose tail filled either folds the tail back into its
+        factors in place (periodic refactorization — generation continues
+        until the slot's static row capacity s_max is exhausted) or, when
+        that's impossible, finishes early."""
+        if slot not in self.slot_request or self.tail_len[slot] < self.tail_max:
+            return
+        plen = int(self.prefill_len[slot])
+        if self._can_refactor and plen + self.tail_max <= self.s_max:
+            self.batch_cache = self._refactor_jit(
+                self.batch_cache,
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(plen, jnp.int32),
+            )
+            self.prefill_len[slot] = plen + self.tail_max
+            self.tail_len[slot] = 0
+        else:
+            req = self.slot_request.pop(slot)
+            req.done = True
+            self._tail_capacity_finished.append(req)
 
     def step(self) -> List[Request]:
         """Admit queued requests, run one decode step, return newly finished
@@ -344,6 +377,7 @@ class BatchedEngine:
         )
         next_tok = np.asarray(next_tok)
         finished = []
+        self._tail_capacity_finished: List[Request] = []
         for slot, req in list(self.slot_request.items()):
             self.tail_len[slot] += 1
             self.pos[slot] += 1
@@ -353,6 +387,9 @@ class BatchedEngine:
             self._maybe_finish(slot)
             if req.done:
                 finished.append(req)
+            else:
+                self._handle_full_tail(slot)
+        finished.extend(self._tail_capacity_finished)
         return finished
 
     def run(self) -> List[Request]:

@@ -237,7 +237,9 @@ def refactorize_cache(
 
     Caller contract: ``tail_len == tail_max`` (every tail row valid). The
     tail stores post-RoPE keys; they are un-rotated (RoPE by -θ is exact)
-    before joining the pre-RoPE factors.
+    before joining the pre-RoPE factors. For MLA the K slot holds the
+    RoPE-free latent (reference `deepseek_v2.py:224-227`), so no
+    un-rotation happens.
     """
     from xkv_tpu.compress.quant import dequantize_k, dequantize_v
     from xkv_tpu.compress.quant import QuantizedKFactors, QuantizedVFactors
@@ -245,15 +247,12 @@ def refactorize_cache(
 
     s_p = cache.prefill_len
     t = cache.tail_max
-    s_new = s_p + t
-    hkv, hd = cfg.num_kv_heads, cfg.head_dim
+    rope_keys = cfg.model_type != "deepseek_v2"
 
-    cos_t, sin_t = rope_cos_sin(
-        s_p + jnp.arange(t), hd, cfg.rope_theta, cfg.rope_scaling
-    )
-    cos_full, sin_full = rope_cos_sin(
-        jnp.arange(s_new), hd, cfg.rope_theta, cfg.rope_scaling
-    )
+    if rope_keys:
+        cos_t, sin_t = rope_cos_sin(
+            s_p + jnp.arange(t), cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
+        )
 
     svd_kw = dict(
         method=xkv.svd_method,
@@ -265,6 +264,8 @@ def refactorize_cache(
                     for g in cache.groups)
 
     def unrope(k):  # (b, hkv, t, hd) post-RoPE -> pre-RoPE
+        if not rope_keys:
+            return k  # MLA latent slot: never rotated
         return apply_rope(k, cos_t[None], -sin_t[None])
 
     new_groups = []
@@ -348,4 +349,162 @@ def refactorize_cache(
         tail_k=tail_k,
         tail_v=tail_v,
         tail_len=jnp.zeros((), jnp.int32),
+    )
+
+
+def refactorize_slot_cache(
+    cache: XKVCache,
+    xkv: XKVConfig,
+    cfg: ModelConfig,
+    slot: jax.Array,
+    plen: jax.Array,
+) -> XKVCache:
+    """Fold ONE slot's full decode tail back into its factors, IN PLACE
+    within the slot's static row capacity (continuous batching).
+
+    Unlike ``refactorize_cache``, factor shapes don't grow: the tail tokens
+    take rows [plen, plen + tail_max) of the slot's (s_max-padded) factor
+    row space — padding rows are exactly zero (zero rows of U), so they are
+    free to occupy. The slot keeps generating until plen reaches s_max.
+
+    Caller contract: the slot's tail is FULL (tail_len == tail_max) and
+    ``plen + tail_max <= s_max`` (the dynamic_update_slice would otherwise
+    clamp and corrupt rows). ``slot``/``plen`` are traced scalars — one
+    compile serves every slot and length.
+    """
+    from xkv_tpu.compress.quant import (
+        QuantizedKFactors,
+        QuantizedVFactors,
+        dequantize_k,
+        dequantize_v,
+        quantize_k_factors,
+        quantize_v_factors,
+    )
+    from xkv_tpu.ops.rope import rope_cos_sin
+
+    t = cache.tail_max
+    rope_keys = cfg.model_type != "deepseek_v2"
+    svd_kw = dict(
+        method=xkv.svd_method,
+        oversample=xkv.svd_oversample,
+        n_iter=xkv.svd_iters,
+        seed=xkv.svd_seed,
+    )
+
+    if rope_keys:
+        cos_t, sin_t = rope_cos_sin(
+            plen + jnp.arange(t), cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
+        )
+
+    def unrope(k):  # (1, hkv, t, hd) post-RoPE -> pre-RoPE
+        if not rope_keys:
+            return k
+        return apply_rope(k, cos_t[None], -sin_t[None])
+
+    def take(x, axis):
+        return jax.lax.dynamic_slice_in_dim(x, slot, 1, axis)
+
+    def put(dst, src, axis):
+        return jax.lax.dynamic_update_slice_in_dim(
+            dst, src.astype(dst.dtype), slot, axis
+        )
+
+    new_groups = []
+    for grp, gf in zip(xkv.layer_groups, cache.groups):
+        layers = grp.layers
+        kw = dict(
+            k_us=gf.k_us, k_vt=gf.k_vt, k_scale=gf.k_scale,
+            v_us=gf.v_us, v_vt=gf.v_vt, v_scale=gf.v_scale,
+        )
+        if gf.k_us is not None:
+            if gf.k_scale is not None:
+                k_mat = dequantize_k(QuantizedKFactors(
+                    take(gf.k_us, 0), take(gf.k_vt, 0), take(gf.k_scale, 0)
+                ))
+            else:
+                k_mat = reconstruct(LowRankFactors(
+                    take(gf.k_us, 0).astype(jnp.float32),
+                    take(gf.k_vt, 0).astype(jnp.float32),
+                ))
+            tail_pre = _stack_group_matrix(
+                [unrope(take(cache.tail_k[l], 0).astype(jnp.float32))
+                 for l in layers]
+            )  # (1, t, g*hkv*hd)
+            k_ext = jax.lax.dynamic_update_slice(k_mat, tail_pre, (0, plen, 0))
+            fac_k = factorize(k_ext, grp.rank_k, **svd_kw)
+            if gf.k_scale is not None:
+                qk = quantize_k_factors(fac_k.us, fac_k.vt)
+                kw.update(
+                    k_us=put(gf.k_us, qk.us_q, 0),
+                    k_vt=put(gf.k_vt, qk.vt_q, 0),
+                    k_scale=put(gf.k_scale, qk.out_scale, 0),
+                )
+            else:
+                kw.update(
+                    k_us=put(gf.k_us, fac_k.us, 0),
+                    k_vt=put(gf.k_vt, fac_k.vt, 0),
+                )
+        if gf.v_us is not None:
+            if gf.v_scale is not None:
+                v_mat = dequantize_v(QuantizedVFactors(
+                    take(gf.v_us, 0), take(gf.v_scale, 0), take(gf.v_vt, 0)
+                ))
+            else:
+                v_mat = reconstruct(LowRankFactors(
+                    take(gf.v_us, 0).astype(jnp.float32),
+                    take(gf.v_vt, 0).astype(jnp.float32),
+                ))
+            tail_v = _stack_group_matrix(
+                [take(cache.tail_v[l], 0).astype(jnp.float32) for l in layers]
+            )
+            v_ext = jax.lax.dynamic_update_slice(v_mat, tail_v, (0, plen, 0))
+            fac_v = factorize(v_ext, grp.rank_v, **svd_kw)
+            if gf.v_scale is not None:
+                qv = quantize_v_factors(fac_v.us, fac_v.vt)
+                kw.update(
+                    v_us=put(gf.v_us, qv.us_q, 0),
+                    v_vt=put(gf.v_vt, qv.vt, 0),
+                    v_scale=put(gf.v_scale, qv.rank_scale, 0),
+                )
+            else:
+                kw.update(
+                    v_us=put(gf.v_us, fac_v.us, 0),
+                    v_vt=put(gf.v_vt, fac_v.vt, 0),
+                )
+        new_groups.append(GroupFactors(**kw))
+
+    # Dense segments (ungrouped / slerp / MLA k_pe): the tail is already in
+    # storage form (post-RoPE keys); copy rows into [plen, plen + t).
+    new_dense_k = {}
+    for l, dst in cache.dense_k.items():
+        src = take(cache.tail_k[l], 0).astype(dst.dtype)  # (1, hkv, t, hd)
+        new_dense_k[l] = jax.lax.dynamic_update_slice(
+            dst, src, (slot, 0, plen, 0)
+        )
+    new_dense_v = {}
+    for l, dst in cache.dense_v.items():
+        src = take(cache.tail_v[l], 0).astype(dst.dtype)
+        new_dense_v[l] = jax.lax.dynamic_update_slice(
+            dst, src, (slot, 0, plen, 0)
+        )
+
+    # Zero the slot's tail (preserves the zero-rows-beyond-tail_len
+    # invariant the next fold relies on).
+    L = cache.tail_k.shape[0]
+    tail_k = jax.lax.dynamic_update_slice(
+        cache.tail_k,
+        jnp.zeros((L, 1) + cache.tail_k.shape[2:], cache.tail_k.dtype),
+        (0, slot, 0, 0, 0),
+    )
+    tail_v = jax.lax.dynamic_update_slice(
+        cache.tail_v,
+        jnp.zeros((L, 1) + cache.tail_v.shape[2:], cache.tail_v.dtype),
+        (0, slot, 0, 0, 0),
+    )
+    return cache.replace(
+        groups=tuple(new_groups),
+        dense_k=new_dense_k,
+        dense_v=new_dense_v,
+        tail_k=tail_k,
+        tail_v=tail_v,
     )

@@ -40,9 +40,13 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         factor_dtype=jnp.bfloat16,
         mesh=None,
+        prefill_logits: str = "all",
     ):
         if mode not in ("factored", "fake", "none"):
             raise ValueError(f"unknown mode {mode!r}")
+        if prefill_logits not in ("all", "last"):
+            raise ValueError(f"unknown prefill_logits {prefill_logits!r}")
+        self.prefill_logits = prefill_logits
         if mode != "none" and xkv is None:
             raise ValueError("xkv config required unless mode='none'")
         if cfg.model_type == "deepseek_v2":
@@ -109,7 +113,10 @@ class InferenceEngine:
         # explicit shard_map instead — lowrank_decode_attention_tp).
         prefill_attention = "xla" if self.mesh is not None else self.attention_impl
         logits, kvs = self._model.prefill(
-            params, self.cfg, tokens, attention_impl=prefill_attention
+            params, self.cfg, tokens, attention_impl=prefill_attention,
+            logits_position=(
+                tokens.shape[1] - 1 if self.prefill_logits == "last" else None
+            ),
         )
         cos_p, sin_p = self._rope_tables(tokens.shape[1])
         if self.mode == "none":

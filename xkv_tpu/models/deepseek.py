@@ -202,9 +202,13 @@ def prefill(
     cfg: ModelConfig,
     tokens: jax.Array,
     attention_impl: str = "xla",
+    logits_position: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
     """Causal forward; stashes per layer (latent (b,1,s,lora),
-    k_pe_roped (b,1,s,rope)) — the MLA cache slots."""
+    k_pe_roped (b,1,s,rope)) — the MLA cache slots.
+
+    ``logits_position``: as in ``llama.prefill`` — unembed only that
+    position (returns (b, 1, vocab))."""
     b, s = tokens.shape
     positions = jnp.arange(s)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
@@ -239,6 +243,8 @@ def prefill(
         h = resid + attn @ ap["o_proj"]
         h = h + _mlp(layer["mlp"], cfg, rms_norm(h, layer["post_norm"],
                                                  cfg.rms_norm_eps))
+    if logits_position is not None:
+        h = jax.lax.dynamic_slice_in_dim(h, logits_position, 1, axis=1)
     return unembed(params, cfg, h), kvs
 
 

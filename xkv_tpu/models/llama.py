@@ -123,11 +123,18 @@ def prefill(
     cfg: ModelConfig,
     tokens: jax.Array,
     attention_impl: str = "xla",
+    logits_position: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
     """Full causal forward over a prompt.
 
     tokens: (b, s) int32. Returns (logits (b, s, vocab) fp32,
     [(k_pre_rope, v)] per layer, each (b, hkv, s, hd)).
+
+    ``logits_position`` (scalar, static or traced): compute logits only at
+    that sequence position — returns (b, 1, vocab). Generation needs only
+    the last valid position; the full (b, s, vocab) fp32 unembed is an
+    s/1-times larger HBM spike (4.2 GB at 32K x 32000) and dominates
+    prefill memory at long context.
 
     Attention uses the locally-RoPE'd fresh K (reference
     `xKV/attn_patch/llama.py:50`), so prefill is identical with or without
@@ -169,6 +176,8 @@ def prefill(
             attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
         h = resid + attn @ layer["attn"]["wo"]
         h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
+    if logits_position is not None:
+        h = jax.lax.dynamic_slice_in_dim(h, logits_position, 1, axis=1)
     logits = unembed(params, cfg, h)
     return logits, kvs
 
