@@ -85,27 +85,39 @@ def measure_decode(eng, prompt, batch: int, steps: int) -> float:
     first1 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)  # (1,)
     if batch > 1:
         cache = cache.tile_batch(batch)
+    jax.block_until_ready(cache)
     # Distinct token per slot AND per timed run (tunnel memoization).
     first = (first1[0] + jnp.arange(batch, dtype=jnp.int32)) % eng.cfg.vocab_size
-    cache = jax.block_until_ready(jax.jit(lambda c: c)(cache))
     pos = jnp.asarray(prompt.shape[1], jnp.int32)
     vocab = eng.cfg.vocab_size
 
     cos_sin = eng._prefill_cos_sin(cache.prefill_len)
 
-    def run(tok_offset: int, n: int) -> float:
+    # Return ONLY the tokens from the jit: without donation, returning the
+    # cache would copy the multi-GB dense segments input->output every call
+    # (OOM at the dense baseline's max batch).
+    def make_fn(n):
+        def fn(c, params, tok, p, cs):
+            toks, _ = eng._generate_impl(c, params, tok, p, cs, n_steps=n)
+            return toks
+
+        return jax.jit(fn)
+
+    fn_1, fn_2 = make_fn(steps), make_fn(2 * steps)
+
+    def run(fn, tok_offset: int) -> float:
         tok = (first + tok_offset) % vocab
         t0 = time.perf_counter()
-        toks, _ = eng._generate_fn(cache, eng.params, tok, pos, cos_sin, n_steps=n)
+        toks = fn(cache, eng.params, tok, pos, cos_sin)
         # device_get, not block_until_ready: over the axon tunnel only a
         # real transfer waits for remote execution to finish.
         jax.device_get(toks)
         return time.perf_counter() - t0
 
-    run(1, steps)  # compile n
-    run(2, 2 * steps)  # compile 2n
-    t1 = min(run(3, steps), run(5, steps))
-    t2 = min(run(4, 2 * steps), run(6, 2 * steps))
+    run(fn_1, 1)  # compile n
+    run(fn_2, 2)  # compile 2n
+    t1 = min(run(fn_1, 3), run(fn_1, 5))
+    t2 = min(run(fn_2, 4), run(fn_2, 6))
     per_step = max((t2 - t1) / steps, 1e-9)
     return batch / per_step
 
@@ -131,6 +143,9 @@ def main():
     ap.add_argument("--attention-impl", default=None, choices=["xla", "pallas"])
     ap.add_argument("--factor-dtype", default="int8", choices=["bf16", "int8"],
                     help="low-rank factor storage (int8 = quantized cache)")
+    ap.add_argument("--sparse", type=int, default=None,
+                    help="sparse top-k decode: attend to N prefill chunks")
+    ap.add_argument("--sparse-block", type=int, default=1024)
     args = ap.parse_args()
 
     from xkv_tpu.engine import InferenceEngine
@@ -166,6 +181,7 @@ def main():
             params, cfg, xkv=xkv, mode="factored", tail_max=tail,
             attention_impl=attention_impl, donate_cache=False,
             factor_dtype=factor_dtype, prefill_logits="last",
+            sparse_topk=args.sparse, sparse_block=args.sparse_block,
         )
         tps_fact = measure_decode(eng_fact, prompt, b_fact, steps)
         del eng_fact

@@ -206,3 +206,35 @@ def test_batched_capacity_finish(params):
     assert len(done) == 1
     # prefill fills s_max exactly -> no fold possible -> tail only
     assert len(done[0].generated) <= 1 + be.tail_max
+
+
+def test_chunked_admission_matches_monolithic(params):
+    """Chunked prefill admission (one chunk per scheduler step, interleaved
+    with decode) produces exactly the same tokens as monolithic admission."""
+    xkv = xkv_cfg()
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(n,)).astype(np.int32)
+               for n in (15, 9, 16)]
+    n_new = 5
+
+    def run_engine(chunk):
+        be = BatchedEngine(
+            params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+            prefill_buckets=[16], cache_dtype=jnp.float32,
+            factor_dtype=jnp.float32, prefill_chunk=chunk,
+        )
+        ids = [be.submit(p, n_new) for p in prompts]
+        return ids, {r.request_id: r.generated for r in be.run()}
+
+    ids_m, mono = run_engine(None)
+    ids_c, chunked = run_engine(4)
+    for im, ic in zip(ids_m, ids_c):
+        assert chunked[ic] == mono[im]
+
+
+def test_chunked_admission_validation(params):
+    with pytest.raises(ValueError, match="not multiples"):
+        BatchedEngine(
+            params, CFG, xkv=xkv_cfg(), num_slots=1, s_max=16, tail_max=4,
+            prefill_buckets=[12], prefill_chunk=5,
+        )

@@ -155,3 +155,48 @@ def test_lowrank_plus_tail_merge_matches_full_attention():
     np.testing.assert_allclose(
         np.asarray(merged), np.asarray(oracle), rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.parametrize("n_sel,lengths", [(3, None), (4, None), (2, (40, 64))])
+def test_sparse_lowrank_matches_sparse_xla(n_sel, lengths):
+    """The scalar-prefetch sparse kernel == the gather-based XLA sparse
+    reference on the same selected chunk ids (incl. per-sequence valid
+    lengths and a partial final chunk)."""
+    from xkv_tpu.ops.attention import sparse_factored_decode_attention_xla
+    from xkv_tpu.ops.pallas.lowrank_attention import (
+        sparse_lowrank_decode_attention,
+    )
+    from xkv_tpu.ops.rope import apply_rope
+
+    b, hq, hkv, hd = 2, 4, 2, 32
+    rk, rv = 24, 28
+    s_p, block = 64, 16  # 4 chunks
+    q_pre = rand(30, (b, hq, 1, hd))
+    k_us = rand(31, (b, s_p, rk))
+    k_vt = rand(32, (b, rk, hkv * hd)) * 0.3
+    v_us = rand(33, (b, s_p, rv))
+    v_vt = rand(34, (b, rv, hkv * hd)) * 0.3
+    cos, sin = rope_cos_sin(jnp.arange(s_p), hd, theta=10000.0)
+    scale = 1.0 / math.sqrt(hd)
+    cos_t, sin_t = rope_cos_sin(jnp.asarray([s_p]), hd, theta=10000.0)
+    q = apply_rope(q_pre, cos_t[None], sin_t[None])
+
+    ids = jnp.asarray([[0, 2, 3, 1][:n_sel], [3, 1, 0, 2][:n_sel]], jnp.int32)
+    vlen = None if lengths is None else jnp.asarray(lengths, jnp.int32)
+
+    ref = sparse_factored_decode_attention_xla(
+        q, k_us, k_vt, v_us, v_vt, cos, sin, ids, scale, hkv, block=block,
+        valid_len=vlen,
+    )
+    out, lse = sparse_lowrank_decode_attention(
+        q_pre, k_us, k_vt, v_us, v_vt, cos, sin,
+        jnp.broadcast_to(cos_t, (b, hd)), jnp.broadcast_to(sin_t, (b, hd)),
+        ids, lengths=vlen,
+        scale=scale, num_kv_heads=hkv, block=block, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.out), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref.lse), rtol=1e-3, atol=1e-3
+    )

@@ -183,3 +183,50 @@ def test_pipeline_parallel_forward_matches_reference():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_flash_attention_tp_matches_single_device():
+    """Head-sharded TP prefill flash attention == single-device kernel
+    (interpret mode on the virtual mesh)."""
+    from xkv_tpu.ops.pallas.flash_attention import (
+        flash_attention_fwd,
+        flash_attention_tp,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    rng = np.random.default_rng(7)
+    b, hq, hkv, s, hd = 2, 8, 4, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, hq, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, hd)), jnp.float32)
+    ref = flash_attention_fwd(q, k, v, scale=0.25, causal=True, interpret=True)
+    tp = flash_attention_tp(mesh, q, k, v, scale=0.25, causal=True,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_engine_pallas_prefill_matches_unsharded(params):
+    """Engine under a mesh with attention_impl='pallas' now drives prefill
+    through flash_attention_tp; logits must match the unsharded engine."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, CFG.vocab_size, size=(2, 24)).astype(np.int32)
+    eng_ref = InferenceEngine(
+        params, CFG, xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    mesh = make_mesh(data=2, model=4)
+    eng_tp = InferenceEngine(
+        params, CFG, xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+        attention_impl="pallas", mesh=mesh,
+    )
+    l_ref, _ = eng_ref.prefill(prompt)
+    l_tp, _ = eng_tp.prefill(prompt)
+    np.testing.assert_allclose(
+        np.asarray(l_tp), np.asarray(l_ref), rtol=2e-4, atol=2e-4
+    )

@@ -47,6 +47,11 @@ class GroupFactors:
     v_vt: Optional[jax.Array] = None  # (b, rv, g*hkv*hd)
     k_scale: Optional[jax.Array] = None  # (b, 1, g*hkv*hd) fp32 (int8 only)
     v_scale: Optional[jax.Array] = None  # (b, 1, rv) fp32 (int8 only)
+    # Landmark chunk means of k_us rows (b, n_chunks, rk) fp32 — present
+    # when the engine's sparse top-k decode is enabled. Selection
+    # reconstructs only these means (s/chunk times cheaper than full K) to
+    # score chunks, then attention touches only the top-k chunks' rows.
+    k_cmeans: Optional[jax.Array] = None
 
 
 @struct.dataclass
@@ -117,6 +122,7 @@ class XKVCache:
                 k_us=rep(g.k_us, 0), k_vt=rep(g.k_vt, 0),
                 v_us=rep(g.v_us, 0), v_vt=rep(g.v_vt, 0),
                 k_scale=rep(g.k_scale, 0), v_scale=rep(g.v_scale, 0),
+                k_cmeans=rep(g.k_cmeans, 0),
             )
             for g in self.groups
         )

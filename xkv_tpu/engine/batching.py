@@ -65,6 +65,9 @@ class BatchedEngine:
         eos_token_id: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
         factor_dtype=jnp.bfloat16,
+        prefill_chunk: Optional[int] = None,
+        sparse_topk: Optional[int] = None,
+        sparse_block: int = 512,
     ):
         if cfg.model_type == "deepseek_v2":
             from xkv_tpu.models import deepseek as model_module
@@ -87,6 +90,30 @@ class BatchedEngine:
         self.cache_dtype = cache_dtype
         self.factor_dtype = factor_dtype
         self.prefill_buckets = sorted(prefill_buckets or [s_max])
+        # Chunked admission: a long prompt prefills prefill_chunk tokens per
+        # scheduler step, interleaved with decode steps for active slots —
+        # no head-of-line blocking behind a 32K admission.
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            if self._mla:
+                raise ValueError("chunked admission is llama-family only")
+            bad = [b for b in self.prefill_buckets if b % prefill_chunk]
+            if bad:
+                raise ValueError(
+                    f"prefill buckets {bad} not multiples of "
+                    f"prefill_chunk={prefill_chunk}"
+                )
+        self._admitting: Optional[dict] = None
+        self._chunk_jit: Dict[int, any] = {}
+        self._compress_jit: Dict[int, any] = {}
+        if sparse_topk is not None and self._mla:
+            raise ValueError("sparse_topk is llama-family only")
+        self.sparse_topk = sparse_topk
+        self.sparse_block = sparse_block
+        self._sparse_kw = (
+            {} if sparse_topk is None
+            else {"sparse_select": sparse_topk, "sparse_block": sparse_block}
+        )
 
         self.batch_cache = self._empty_batch_cache()
         self.prefill_len = np.zeros(num_slots, np.int32)
@@ -141,6 +168,11 @@ class BatchedEngine:
                         kw["k_scale"] = jnp.zeros(
                             (B, 1, g * hkv * hd), jnp.float32
                         )
+                    if self.sparse_topk is not None:
+                        nc = -(-S // self.sparse_block)
+                        kw["k_cmeans"] = jnp.zeros(
+                            (B, nc, grp.rank_k), jnp.float32
+                        )
                 else:
                     for l in grp.layers:
                         dense_k[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
@@ -179,21 +211,50 @@ class BatchedEngine:
         )
 
     # ------------------------------------------------------------ admission
-    def _prefill_one(self, tokens: np.ndarray):
-        """Single-sequence prefill + compress at a bucketed length."""
-        s = tokens.shape[-1]
+    def _compress_kvs(self, kvs, s_bucket: int, true_len):
+        """Mask padded rows to zero and compress into a batch-1 cache.
+
+        Right-padding is safe: the valid region [0, s) attends only within
+        itself (causal), so its K/V and logits are exact. Zero rows are
+        exactly representable by the SVD (zero rows of U) and consume no
+        rank, and decode masks them via per-slot prefill_len. Everything is
+        static per bucket: one compile per bucket, not per prompt length.
+        """
+        mask = (jnp.arange(s_bucket) < true_len)[None, None, :, None]
+        kvs = [(k * mask, v * mask) for k, v in kvs]
+        cos_p, sin_p = (x[:s_bucket] for x in self._cos_sin)
+        rope_k = not self._mla
+        if self.xkv is not None:
+            return build_cache(
+                kvs, self.xkv, self.cfg, cos_p, sin_p, tail_max=1,
+                factor_dtype=self.factor_dtype,
+                cache_dtype=self.cache_dtype,
+                rope_dense_keys=rope_k,
+                sparse_block=(
+                    self.sparse_block if self.sparse_topk is not None else None
+                ),
+            )
+        from xkv_tpu.engine.compression import build_uncompressed_cache
+
+        return build_uncompressed_cache(
+            kvs, self.cfg, cos_p, sin_p, tail_max=1,
+            cache_dtype=self.cache_dtype,
+            rope_dense_keys=rope_k,
+        )
+
+    def _pick_bucket(self, s: int) -> int:
         bucket = next((b for b in self.prefill_buckets if b >= s), None)
         if bucket is None:
             raise ValueError(f"prompt length {s} exceeds s_max={self.s_max}")
+        return bucket
+
+    def _prefill_one(self, tokens: np.ndarray):
+        """Single-sequence monolithic prefill + compress at a bucketed
+        length."""
+        s = tokens.shape[-1]
+        bucket = self._pick_bucket(s)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :s] = tokens
-        # Right-padding is safe: the valid region [0, s) attends only within
-        # itself (causal), so its K/V and logits are exact. Before
-        # compression the padded rows are MASKED TO ZERO — zero rows are
-        # exactly representable by the SVD (zero rows of U) and consume no
-        # rank, and decode masks them via per-slot prefill_len. Everything
-        # is therefore static per bucket: one compile per bucket, not per
-        # prompt length.
         if bucket not in self._prefill_jit:
 
             def fn(params, toks, true_len):
@@ -204,29 +265,7 @@ class BatchedEngine:
                     params, self.cfg, toks, attention_impl=self.attention_impl,
                     logits_position=true_len - 1,
                 )
-                mask = (jnp.arange(toks.shape[1]) < true_len)[
-                    None, None, :, None
-                ]
-                kvs = [(k * mask, v * mask) for k, v in kvs]
-                cos_p, sin_p = (x[: toks.shape[1]] for x in self._cos_sin)
-                rope_k = not self._mla
-                if self.xkv is not None:
-                    cache1 = build_cache(
-                        kvs, self.xkv, self.cfg, cos_p, sin_p, tail_max=1,
-                        factor_dtype=self.factor_dtype,
-                        cache_dtype=self.cache_dtype,
-                        rope_dense_keys=rope_k,
-                    )
-                else:
-                    from xkv_tpu.engine.compression import (
-                        build_uncompressed_cache,
-                    )
-
-                    cache1 = build_uncompressed_cache(
-                        kvs, self.cfg, cos_p, sin_p, tail_max=1,
-                        cache_dtype=self.cache_dtype,
-                        rope_dense_keys=rope_k,
-                    )
+                cache1 = self._compress_kvs(kvs, toks.shape[1], true_len)
                 return logits[0, 0], cache1
 
             self._prefill_jit[bucket] = jax.jit(fn)
@@ -235,6 +274,72 @@ class BatchedEngine:
         )
         first_token = int(np.argmax(np.asarray(first_logits)))
         return cache1, first_token, s, bucket
+
+    # ------------------------------------------------- chunked admission
+    def _start_admission(self, req: Request, slot: int):
+        s = int(req.tokens.shape[-1])
+        bucket = self._pick_bucket(s)
+        L = self.cfg.num_layers
+        hkv, hd = self.cfg.num_kv_heads, self.cfg.head_dim
+        dt = self.params["embed"].dtype
+        self._admitting = dict(
+            req=req, slot=slot, bucket=bucket, s=s, ci=0,
+            scratch_k=jnp.zeros((L, 1, hkv, bucket, hd), dt),
+            scratch_v=jnp.zeros((L, 1, hkv, bucket, hd), dt),
+        )
+
+    def _advance_admission(self):
+        """Run ONE prefill chunk; on the last chunk, compress + insert."""
+        a = self._admitting
+        C = self.prefill_chunk
+        pos0 = a["ci"] * C
+        s, bucket = a["s"], a["bucket"]
+        valid = min(C, s - pos0)
+        chunk = np.zeros((1, C), np.int32)
+        chunk[0, :valid] = a["req"].tokens[pos0: pos0 + valid]
+        final = pos0 + C >= s
+        last_idx = valid - 1 if final else C - 1
+        if bucket not in self._chunk_jit:
+
+            def fn(params, toks, sk, sv, p0, li, cos_s, sin_s):
+                return self._model.prefill_chunk(
+                    params, self.cfg, toks, sk, sv, p0, cos_s, sin_s, li
+                )
+
+            self._chunk_jit[bucket] = jax.jit(fn, donate_argnums=(2, 3))
+        cos_s, sin_s = (x[:bucket] for x in self._cos_sin)
+        logits, a["scratch_k"], a["scratch_v"] = self._chunk_jit[bucket](
+            self.params, jnp.asarray(chunk), a["scratch_k"], a["scratch_v"],
+            jnp.asarray(pos0, jnp.int32), jnp.asarray(last_idx, jnp.int32),
+            cos_s, sin_s,
+        )
+        a["ci"] += 1
+        if final:
+            self._finish_admission(logits)
+
+    def _finish_admission(self, logits):
+        a = self._admitting
+        self._admitting = None
+        bucket, s, slot, req = a["bucket"], a["s"], a["slot"], a["req"]
+        if bucket not in self._compress_jit:
+
+            def fn(sk, sv, true_len):
+                kvs = [(sk[l], sv[l]) for l in range(self.cfg.num_layers)]
+                return self._compress_kvs(kvs, bucket, true_len)
+
+            self._compress_jit[bucket] = jax.jit(fn, donate_argnums=(0, 1))
+        cache1 = self._compress_jit[bucket](a["scratch_k"], a["scratch_v"], s)
+        first_token = int(np.argmax(np.asarray(logits[0, 0])))
+        self.batch_cache = self._insert_jit(
+            self.batch_cache, cache1, slot, s_bucket=bucket
+        )
+        req.generated.append(first_token)
+        self.slot_request[slot] = req
+        self.prefill_len[slot] = s
+        self.tail_len[slot] = 0
+        self.pos[slot] = s
+        self.token[slot] = first_token
+        self._maybe_finish(slot)
 
     def _insert_impl(self, batch_cache: XKVCache, cache1: XKVCache, slot: int,
                      s_bucket: int):
@@ -248,7 +353,7 @@ class BatchedEngine:
             if dst is None:
                 return None
             if pad_axis is not None:
-                src = _pad_to(src, self.s_max, pad_axis)
+                src = _pad_to(src, dst.shape[pad_axis], pad_axis)
             return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=0)
 
         groups = []
@@ -261,6 +366,7 @@ class BatchedEngine:
                     v_vt=ins_field(gd.v_vt, gs.v_vt),
                     k_scale=ins_field(gd.k_scale, gs.k_scale),
                     v_scale=ins_field(gd.v_scale, gs.v_scale),
+                    k_cmeans=ins_field(gd.k_cmeans, gs.k_cmeans, pad_axis=1),
                 )
             )
         dense_k = {
@@ -296,6 +402,7 @@ class BatchedEngine:
             params, self.cfg, self.xkv, batch_cache,
             token, pos, prefill_len, tail_len, self._cos_sin,
             attention_impl=self.attention_impl,
+            **self._sparse_kw,
         )
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return next_tok, batch_cache
@@ -312,6 +419,14 @@ class BatchedEngine:
         return [i for i in range(self.num_slots) if i not in self.slot_request]
 
     def _admit(self):
+        if self.prefill_chunk is not None:
+            # Chunked: at most one admission in flight; ONE chunk per
+            # scheduler step, so decode steps interleave with long prefills.
+            if self._admitting is None and self.queue and self._free_slots():
+                self._start_admission(self.queue.pop(0), self._free_slots()[0])
+            if self._admitting is not None:
+                self._advance_admission()
+            return
         for slot in self._free_slots():
             if not self.queue:
                 break
@@ -395,6 +510,6 @@ class BatchedEngine:
     def run(self) -> List[Request]:
         """Drain the queue; returns all finished requests."""
         done: List[Request] = []
-        while self.queue or self.slot_request:
+        while self.queue or self.slot_request or self._admitting is not None:
             done.extend(self.step())
         return done

@@ -15,7 +15,7 @@ immediately multiplied back and stored densely. Used for parity tests.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,19 @@ def _split_group_matrix(mat: jax.Array, g: int, hkv: int) -> List[jax.Array]:
     ]
 
 
+def chunk_means(us: jax.Array, block: int) -> jax.Array:
+    """Landmark means of ``us`` rows per ``block``-row chunk, (b, nc, r)
+    fp32. Zero-padded rows attenuate the boundary chunk's mean — fine for
+    selection (the last valid chunk is force-included by the selector)."""
+    b, s, r = us.shape
+    nc = -(-s // block)
+    pad = nc * block - s
+    usf = us.astype(jnp.float32)
+    if pad:
+        usf = jnp.pad(usf, ((0, 0), (0, pad), (0, 0)))
+    return jnp.mean(usf.reshape(b, nc, block, r), axis=2)
+
+
 def build_cache(
     kvs: List[Tuple[jax.Array, jax.Array]],
     xkv: XKVConfig,
@@ -63,6 +76,7 @@ def build_cache(
     factor_dtype=jnp.bfloat16,
     cache_dtype=jnp.bfloat16,
     rope_dense_keys: bool = True,
+    sparse_block: Optional[int] = None,
 ) -> XKVCache:
     """Compress prefill K/V into the hybrid cache.
 
@@ -72,6 +86,8 @@ def build_cache(
     rotated at read time).
     fake: store dense reconstructions instead of factors (reference parity
     mode — `fake_layer_merge_dynamic_cache.py:202-213`).
+    sparse_block: when set, also store per-chunk landmark means of k_us
+    (``chunk_means``) for the sparse top-k decode path.
     """
     svd_kw = dict(
         method=xkv.svd_method,
@@ -122,6 +138,13 @@ def build_cache(
                 else:
                     gf_kwargs["k_us"] = fac_k.us.astype(factor_dtype)
                     gf_kwargs["k_vt"] = fac_k.vt.astype(factor_dtype)
+                if sparse_block is not None and not fake:
+                    # Means in the stored-us domain (int8 codes for the
+                    # quantized cache): mean @ vt (* out_scale) then equals
+                    # the mean of what decode reconstructs.
+                    gf_kwargs["k_cmeans"] = chunk_means(
+                        gf_kwargs["k_us"], sparse_block
+                    )
             else:
                 for l, k in zip(layers, ks):
                     dense_k[l] = rope_dense_k(k)
@@ -297,6 +320,9 @@ def refactorize_cache(
                     k_us=fac_k.us.astype(factor_dtype),
                     k_vt=fac_k.vt.astype(factor_dtype),
                 )
+            if gf.k_cmeans is not None:
+                block = -(-s_p // gf.k_cmeans.shape[1])
+                kw["k_cmeans"] = chunk_means(kw["k_us"], block)
         if gf.v_us is not None:
             if gf.v_scale is not None:
                 v_mat = dequantize_v(
@@ -415,6 +441,7 @@ def refactorize_slot_cache(
         kw = dict(
             k_us=gf.k_us, k_vt=gf.k_vt, k_scale=gf.k_scale,
             v_us=gf.v_us, v_vt=gf.v_vt, v_scale=gf.v_scale,
+            k_cmeans=gf.k_cmeans,
         )
         if gf.k_us is not None:
             if gf.k_scale is not None:
@@ -434,15 +461,22 @@ def refactorize_slot_cache(
             fac_k = factorize(k_ext, grp.rank_k, **svd_kw)
             if gf.k_scale is not None:
                 qk = quantize_k_factors(fac_k.us, fac_k.vt)
+                new_us = qk.us_q
                 kw.update(
                     k_us=put(gf.k_us, qk.us_q, 0),
                     k_vt=put(gf.k_vt, qk.vt_q, 0),
                     k_scale=put(gf.k_scale, qk.out_scale, 0),
                 )
             else:
+                new_us = fac_k.us
                 kw.update(
                     k_us=put(gf.k_us, fac_k.us, 0),
                     k_vt=put(gf.k_vt, fac_k.vt, 0),
+                )
+            if gf.k_cmeans is not None:
+                block = -(-gf.k_us.shape[1] // gf.k_cmeans.shape[1])
+                kw["k_cmeans"] = put(
+                    gf.k_cmeans, chunk_means(new_us, block), 0
                 )
         if gf.v_us is not None:
             if gf.v_scale is not None:

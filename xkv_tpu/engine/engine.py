@@ -41,12 +41,32 @@ class InferenceEngine:
         factor_dtype=jnp.bfloat16,
         mesh=None,
         prefill_logits: str = "all",
+        sparse_topk: Optional[int] = None,
+        sparse_block: int = 512,
     ):
         if mode not in ("factored", "fake", "none"):
             raise ValueError(f"unknown mode {mode!r}")
         if prefill_logits not in ("all", "last"):
             raise ValueError(f"unknown prefill_logits {prefill_logits!r}")
         self.prefill_logits = prefill_logits
+        # Sparse top-k decode: attend only to the sparse_topk highest-scoring
+        # sparse_block-sized prefill chunks per step (landmark selection over
+        # the factored cache — approximate; sink + recency chunks always
+        # kept, the dense tail stays exact).
+        if sparse_topk is not None:
+            if mode != "factored":
+                raise ValueError("sparse_topk requires mode='factored'")
+            if cfg.model_type == "deepseek_v2":
+                raise ValueError(
+                    "sparse_topk is llama-family only (MLA's absorbed decode "
+                    "is already rank-space)"
+                )
+        self.sparse_topk = sparse_topk
+        self.sparse_block = sparse_block
+        self._sparse_kw = (
+            {} if sparse_topk is None
+            else {"sparse_select": sparse_topk, "sparse_block": sparse_block}
+        )
         if mode != "none" and xkv is None:
             raise ValueError("xkv config required unless mode='none'")
         if cfg.model_type == "deepseek_v2":
@@ -108,15 +128,25 @@ class InferenceEngine:
         return self._cos_sin_cache[s]
 
     def _prefill_impl(self, params, tokens):
-        # Under a mesh, prefill uses the blockwise XLA path (pallas_call has
-        # no GSPMD partitioning rules; the decode kernel goes through an
-        # explicit shard_map instead — lowrank_decode_attention_tp).
-        prefill_attention = "xla" if self.mesh is not None else self.attention_impl
+        # Under a mesh, the pallas flash kernel goes through an explicit
+        # shard_map (flash_attention_tp — pallas_call has no GSPMD
+        # partitioning rules). MLA prefill under a mesh stays on the
+        # blockwise XLA path.
+        prefill_kw = {}
+        if self.mesh is not None:
+            if self._model.__name__.endswith("deepseek"):
+                prefill_kw["attention_impl"] = "xla"
+            else:
+                prefill_kw["attention_impl"] = self.attention_impl
+                prefill_kw["mesh"] = self.mesh
+        else:
+            prefill_kw["attention_impl"] = self.attention_impl
         logits, kvs = self._model.prefill(
-            params, self.cfg, tokens, attention_impl=prefill_attention,
+            params, self.cfg, tokens,
             logits_position=(
                 tokens.shape[1] - 1 if self.prefill_logits == "last" else None
             ),
+            **prefill_kw,
         )
         cos_p, sin_p = self._rope_tables(tokens.shape[1])
         if self.mode == "none":
@@ -137,6 +167,9 @@ class InferenceEngine:
                 factor_dtype=self.factor_dtype,
                 cache_dtype=self.cache_dtype,
                 rope_dense_keys=self._rope_dense_keys,
+                sparse_block=(
+                    self.sparse_block if self.sparse_topk is not None else None
+                ),
             )
         return logits, cache
 
@@ -160,6 +193,7 @@ class InferenceEngine:
         return self._model.decode_step(
             params, self.cfg, self.xkv, cache, tokens, pos, cos_sin,
             attention_impl=self.attention_impl, mesh=self.mesh,
+            **self._sparse_kw,
         )
 
     def _generate_impl(self, cache, params, first_token, start_pos, cos_sin,
@@ -175,6 +209,7 @@ class InferenceEngine:
             logits, step_cache = self._model.decode_step(
                 params, self.cfg, self.xkv, step_cache, token[:, None], pos, cos_sin,
                 attention_impl=self.attention_impl, mesh=self.mesh,
+                **self._sparse_kw,
             )
             next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             carry = (
@@ -206,6 +241,7 @@ class InferenceEngine:
             logits, step_cache = self._model.decode_step(
                 params, self.cfg, self.xkv, step_cache, token[:, None], pos, cos_sin,
                 attention_impl=self.attention_impl, mesh=self.mesh,
+                **self._sparse_kw,
             )
             logprobs = jax.nn.log_softmax(logits[:, -1, :], axis=-1)
             carry = (

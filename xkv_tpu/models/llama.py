@@ -26,10 +26,13 @@ from xkv_tpu.configs import XKVConfig
 from xkv_tpu.models.config import ModelConfig
 from xkv_tpu.ops.attention import (
     PartialAttention,
+    blockwise_causal_attention,
     dense_decode_attention_xla,
     factored_decode_attention_xla,
     merge_partials,
     mha_reference,
+    select_topk_chunks,
+    sparse_factored_decode_attention_xla,
 )
 from xkv_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -124,6 +127,7 @@ def prefill(
     tokens: jax.Array,
     attention_impl: str = "xla",
     logits_position: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
     """Full causal forward over a prompt.
 
@@ -157,11 +161,19 @@ def prefill(
         k = apply_rope(k_pre, cos, sin)
         kvs.append((k_pre, v))
         if attention_impl == "pallas":
-            from xkv_tpu.ops.pallas.flash_attention import flash_attention_fwd
+            if mesh is not None:
+                from xkv_tpu.ops.pallas.flash_attention import flash_attention_tp
 
-            attn = flash_attention_fwd(
-                q, k, v, scale=scale, causal=True, window=cfg.sliding_window
-            )  # (b, s, hq, hd)
+                attn = flash_attention_tp(
+                    mesh, q, k, v, scale=scale, causal=True,
+                    window=cfg.sliding_window,
+                )  # (b, s, hq, hd), head-sharded
+            else:
+                from xkv_tpu.ops.pallas.flash_attention import flash_attention_fwd
+
+                attn = flash_attention_fwd(
+                    q, k, v, scale=scale, causal=True, window=cfg.sliding_window
+                )  # (b, s, hq, hd)
             attn = attn.reshape(b, s, -1)
         elif s > 2048:
             # Blockwise XLA attention: never materializes (s, s) scores.
@@ -182,6 +194,67 @@ def prefill(
     return logits, kvs
 
 
+def prefill_chunk(
+    params: Params,
+    cfg: ModelConfig,
+    chunk_tokens: jax.Array,  # (b, C) — one admission chunk
+    scratch_k: jax.Array,  # (L, b, hkv, S, hd) pre-RoPE K scratch
+    scratch_v: jax.Array,  # (L, b, hkv, S, hd)
+    pos0: jax.Array,  # () int32 — absolute position of chunk row 0
+    cos_s: jax.Array,  # (S, hd) RoPE tables for the scratch positions
+    sin_s: jax.Array,
+    last_idx: jax.Array,  # () int32 — chunk row whose logits to return
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One chunk of a chunked (incremental) prefill.
+
+    Runs the forward over ``chunk_tokens`` at absolute positions
+    [pos0, pos0+C), writes the chunk's pre-RoPE K and V into the scratch
+    buffers at pos0, and attends causally over the scratch's valid region
+    [0, pos0+C) — so a long admission can interleave with decode steps in
+    the batched scheduler instead of monopolizing the chip. ``pos0`` and
+    ``last_idx`` are traced: ONE compile serves every chunk of a bucket.
+
+    Numerics match the monolithic ``prefill`` exactly (same fresh-K local
+    RoPE convention); cost is ~2x its attention FLOPs (each chunk scans the
+    whole padded scratch with masking — the price of static shapes).
+
+    Returns (logits (b, 1, vocab) at chunk row ``last_idx``, scratch_k,
+    scratch_v). Donate the scratches for in-place updates.
+    """
+    b, C = chunk_tokens.shape
+    hd = cfg.head_dim
+    cos_c = jax.lax.dynamic_slice(cos_s, (pos0, 0), (C, hd))[None]
+    sin_c = jax.lax.dynamic_slice(sin_s, (pos0, 0), (C, hd))[None]
+    scale = 1.0 / math.sqrt(hd)
+    kv_valid = pos0 + C
+
+    h = params["embed"][chunk_tokens]
+    for li, layer in enumerate(params["layers"]):
+        resid = h
+        x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
+        q, k_pre, v = qkv_proj(layer["attn"], cfg, x)
+        q = apply_rope(q, cos_c, sin_c)
+        scratch_k = jax.lax.dynamic_update_slice(
+            scratch_k, k_pre[None].astype(scratch_k.dtype), (li, 0, 0, pos0, 0)
+        )
+        scratch_v = jax.lax.dynamic_update_slice(
+            scratch_v, v[None].astype(scratch_v.dtype), (li, 0, 0, pos0, 0)
+        )
+        k_all = apply_rope(
+            scratch_k[li].astype(k_pre.dtype), cos_s[None], sin_s[None]
+        )
+        attn = blockwise_causal_attention(
+            q, k_all, scratch_v[li].astype(v.dtype), scale,
+            window=cfg.sliding_window, q_offset=pos0, kv_valid=kv_valid,
+        )
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, C, -1)
+        h = resid + attn @ layer["attn"]["wo"]
+        h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
+    h_last = jax.lax.dynamic_slice_in_dim(h, last_idx, 1, axis=1)
+    logits = unembed(params, cfg, h_last)
+    return logits, scratch_k, scratch_v
+
+
 # ----------------------------------------------------------------- decode
 def decode_step(
     params: Params,
@@ -193,6 +266,8 @@ def decode_step(
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
     attention_impl: str = "xla",
     mesh=None,
+    sparse_select: Optional[int] = None,
+    sparse_block: int = 512,
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step with the hybrid factored cache.
 
@@ -260,7 +335,51 @@ def decode_step(
                 and "model" in mesh.shape
                 and cfg.num_kv_heads % mesh.shape["model"] == 0
             )
-            if attention_impl == "pallas" and ql == 1 and pallas_ok and tp_ok:
+            sparse_ok = (
+                sparse_select is not None
+                and gf.k_cmeans is not None
+                and ql == 1
+            )
+            if sparse_ok:
+                nc = gf.k_cmeans.shape[1]
+                blk = sparse_block
+                assert nc == -(-gf.k_us.shape[1] // blk), (
+                    "k_cmeans chunk count does not match sparse_block")
+                centers = jnp.clip(
+                    jnp.arange(nc) * blk + blk // 2, 0, cos_p.shape[0] - 1
+                )
+                ids = select_topk_chunks(
+                    q, gf.k_cmeans, factored_args[2],
+                    cos_p[centers], sin_p[centers],
+                    n_select=min(sparse_select, nc),
+                    num_kv_heads=cfg.num_kv_heads,
+                    k_scale_slice=k_scale_slice,
+                    block=blk,
+                )
+                if attention_impl == "pallas" and ql == 1 and pallas_ok \
+                        and mesh is None:
+                    from xkv_tpu.ops.pallas.lowrank_attention import (
+                        sparse_lowrank_decode_attention,
+                    )
+
+                    out_f, lse_f = sparse_lowrank_decode_attention(
+                        q_pre, *kernel_args, ids,
+                        k_scale_slice=k_scale_slice,
+                        v_rank_scale=gf.v_scale,
+                        scale=scale, num_kv_heads=cfg.num_kv_heads,
+                        block=blk,
+                    )
+                    parts.append(PartialAttention(out=out_f, lse=lse_f))
+                else:
+                    parts.append(
+                        sparse_factored_decode_attention_xla(
+                            *factored_args, ids, scale, cfg.num_kv_heads,
+                            block=blk,
+                            k_scale_slice=k_scale_slice,
+                            v_rank_scale=gf.v_scale,
+                        )
+                    )
+            elif attention_impl == "pallas" and ql == 1 and pallas_ok and tp_ok:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention_tp,
                 )
@@ -362,6 +481,8 @@ def decode_step_batched(
     tail_len: jax.Array,     # (B,) tail fill per slot
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
     attention_impl: str = "xla",
+    sparse_select: Optional[int] = None,
+    sparse_block: int = 512,
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step across B independent slots (continuous batching).
 
@@ -416,7 +537,49 @@ def decode_step_batched(
                 else vt_layer_slice(gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim)
             )
             pallas_ok_b = cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu"
-            if attention_impl == "pallas" and pallas_ok_b:
+            sparse_ok_b = sparse_select is not None and gf.k_cmeans is not None
+            if sparse_ok_b:
+                nc = gf.k_cmeans.shape[1]
+                blk = sparse_block
+                assert nc == -(-gf.k_us.shape[1] // blk), (
+                    "k_cmeans chunk count does not match sparse_block")
+                centers = jnp.clip(
+                    jnp.arange(nc) * blk + blk // 2, 0, cos_p.shape[0] - 1
+                )
+                ids = select_topk_chunks(
+                    q, gf.k_cmeans, fargs[2],
+                    cos_p[centers], sin_p[centers],
+                    n_select=min(sparse_select, nc),
+                    num_kv_heads=cfg.num_kv_heads,
+                    valid_len=prefill_len,
+                    k_scale_slice=k_scale_slice,
+                    block=blk,
+                )
+                if attention_impl == "pallas" and pallas_ok_b:
+                    from xkv_tpu.ops.pallas.lowrank_attention import (
+                        sparse_lowrank_decode_attention,
+                    )
+
+                    out_f, lse_f = sparse_lowrank_decode_attention(
+                        q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :], ids,
+                        lengths=prefill_len,
+                        k_scale_slice=k_scale_slice,
+                        v_rank_scale=gf.v_scale,
+                        scale=scale, num_kv_heads=cfg.num_kv_heads,
+                        block=blk,
+                    )
+                    parts.append(PartialAttention(out=out_f, lse=lse_f))
+                else:
+                    parts.append(
+                        sparse_factored_decode_attention_xla(
+                            *fargs, ids, scale, cfg.num_kv_heads,
+                            block=blk,
+                            k_scale_slice=k_scale_slice,
+                            v_rank_scale=gf.v_scale,
+                            valid_len=prefill_len,
+                        )
+                    )
+            elif attention_impl == "pallas" and pallas_ok_b:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention,
                 )

@@ -204,6 +204,125 @@ def factored_decode_attention_xla(
     return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale, mask)
 
 
+def select_topk_chunks(
+    q: jax.Array,  # (b, hq, ql, hd) post-RoPE decode queries
+    k_cmeans: jax.Array,  # (b, nc, r) landmark means of k_us rows
+    k_vt_slice: jax.Array,  # (b, r, hkv*hd)
+    cos_c: jax.Array,  # (nc, hd) RoPE tables at chunk-center positions
+    sin_c: jax.Array,
+    n_select: int,
+    num_kv_heads: int,
+    valid_len: Optional[jax.Array] = None,  # (b,)
+    k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 scale
+    block: int = 512,
+) -> jax.Array:
+    """Landmark chunk selection for sparse factored decode (public technique:
+    low-rank pre-RoPE keys + top-k chunk selection; cf. PAPERS.md line of
+    work and Quest/ShadowKV-style selection).
+
+    Scores every chunk by q . RoPE(mean_k, center): the chunk mean in the
+    us domain reconstructs through the shared V^T for s/block times less
+    compute than full K. The sink chunk (0) and the last valid chunk
+    (recency) are force-included. Returns ids (b, n_select) int32.
+    """
+    from xkv_tpu.ops.rope import apply_rope
+
+    b, hq, ql, hd = q.shape
+    nc = k_cmeans.shape[1]
+    mean_k = jnp.einsum(
+        "bcr,brm->bcm", k_cmeans, k_vt_slice.astype(k_cmeans.dtype),
+        preferred_element_type=jnp.float32,
+    )  # (b, nc, hkv*hd)
+    if k_scale_slice is not None:
+        mean_k = mean_k * k_scale_slice
+    mean_k = jnp.transpose(
+        mean_k.reshape(b, nc, num_kv_heads, hd), (0, 2, 1, 3)
+    )  # (b, hkv, nc, hd)
+    mean_k = apply_rope(mean_k, cos_c[None], sin_c[None])
+    sc = _gqa_scores(q.astype(jnp.float32), mean_k)  # (b, hq, ql, nc)
+    sc = jnp.max(sc, axis=(1, 2))  # (b, nc) — max over heads/positions
+    cidx = jnp.arange(nc)[None, :]
+    if valid_len is not None:
+        n_valid = -(-valid_len[:, None] // block)  # ceil: chunks with rows
+        sc = jnp.where(cidx < n_valid, sc, -jnp.inf)
+        last_valid = jnp.maximum(n_valid - 1, 0)
+    else:
+        last_valid = jnp.full((b, 1), nc - 1)
+    big = jnp.float32(3e38)
+    sc = jnp.where(cidx == 0, big, sc)  # attention sink
+    sc = jnp.where(cidx == last_valid, big, sc)  # recency boundary
+    _, ids = jax.lax.top_k(sc, n_select)
+    return ids.astype(jnp.int32)
+
+
+def sparse_factored_decode_attention_xla(
+    q: jax.Array,  # (b, hq, ql, hd) post-RoPE
+    k_us: jax.Array,  # (b, s_p, rk)
+    k_vt_slice: jax.Array,
+    v_us: jax.Array,
+    v_vt_slice: jax.Array,
+    cos: jax.Array,  # (s_p, hd)
+    sin: jax.Array,
+    ids: jax.Array,  # (b, n_select) chunk ids from select_topk_chunks
+    scale: float,
+    num_kv_heads: int,
+    block: int,
+    k_scale_slice: Optional[jax.Array] = None,
+    v_rank_scale: Optional[jax.Array] = None,
+    valid_len: Optional[jax.Array] = None,
+) -> PartialAttention:
+    """Sparse factored decode attention (XLA reference): gather the selected
+    chunks' us rows + position tables, reconstruct ONLY those rows, attend.
+
+    Compute/traffic drop from s_p to n_select*block per step; the returned
+    partial merges with the dense tail (exact recent tokens) as usual.
+    """
+    b, s_p, rk = k_us.shape
+    n_sel = ids.shape[1]
+    nc = -(-s_p // block)
+    s_pad = nc * block
+
+    def gather_rows(x):  # (b, s_p, r) -> (b, n_sel*block, r)
+        if s_pad != s_p:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        xc = x.reshape(b, nc, block, x.shape[-1])
+        g = jnp.take_along_axis(xc, ids[:, :, None, None], axis=1)
+        return g.reshape(b, n_sel * block, x.shape[-1])
+
+    k_us_g = gather_rows(k_us)
+    v_us_g = gather_rows(v_us)
+    # Per-batch gathered position tables (b, n_sel*block, hd). Rows past
+    # s_p are masked below, so the clamped table gather is harmless.
+    pos = (ids[:, :, None] * block + jnp.arange(block)[None, None, :]).reshape(
+        b, n_sel * block
+    )
+    # Chunk-granular gather from the SHARED (s_p, hd) table — broadcasting
+    # the table to the batch first would materialize b copies (hundreds of
+    # MB at 32K x batch 48) before gathering, and row-granular gathers are
+    # n_sel*block tiny DMAs instead of n_sel block transfers.
+    def gather_table(t):
+        if s_pad != s_p:
+            t = jnp.pad(t, ((0, s_pad - s_p), (0, 0)))
+        tc = t.reshape(nc, block, t.shape[-1])
+        return jnp.take(tc, ids, axis=0).reshape(b, n_sel * block, t.shape[-1])
+
+    cos_g = gather_table(cos)
+    sin_g = gather_table(sin)
+
+    from xkv_tpu.ops.rope import apply_rope
+
+    k_pre = reconstruct_group_heads(
+        k_us_g, k_vt_slice, num_kv_heads, out_scale=k_scale_slice
+    )
+    k = apply_rope(k_pre, cos_g, sin_g)
+    v = reconstruct_group_heads(
+        v_us_g, v_vt_slice, num_kv_heads, rank_scale=v_rank_scale
+    )
+    vlen = valid_len[:, None] if valid_len is not None else s_p
+    mask = (pos < vlen)[:, None, None, :]  # (b, 1, 1, n_sel*block)
+    return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale, mask)
+
+
 def dense_decode_attention_xla(
     q: jax.Array,
     k: jax.Array,
@@ -229,6 +348,8 @@ def blockwise_causal_attention(
     q_chunk: int = 512,
     k_chunk: int = 1024,
     window: Optional[int] = None,
+    q_offset=0,
+    kv_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Memory-bounded causal attention in pure XLA (lax.scan online softmax).
 
@@ -237,23 +358,32 @@ def blockwise_causal_attention(
     kernel is unavailable (CPU, MLA's 192-dim heads) — the XLA analog of
     flash attention. GQA supported (hq a multiple of hkv).
 
-    q: (b, hq, s, hd); k: (b, hkv, s, hd); v: (b, hkv, s, hd_v) — the value
-    head dim may differ (MLA). Returns (b, hq, s, hd_v).
+    q: (b, hq, s_q, hd); k: (b, hkv, s_k, hd); v: (b, hkv, s_k, hd_v) — the
+    value head dim may differ (MLA). Returns (b, hq, s_q, hd_v).
+
+    ``q_offset`` (static or traced scalar): absolute position of q row 0 in
+    the kv index space — chunked prefill passes the chunk's start so each
+    chunk attends causally over the whole scratch. ``kv_valid`` (traced
+    scalar, default s_k): number of valid kv rows (the scratch is a padded
+    buffer during chunked admission).
     """
-    b, hq, s, hd = q.shape
+    b, hq, s_q, hd = q.shape
     hkv = k.shape[1]
+    s_k = k.shape[2]
     hd_v = v.shape[-1]
-    q_chunk = min(q_chunk, s)
-    k_chunk = min(k_chunk, s)
-    # pad s to multiples
+    q_chunk = min(q_chunk, s_q)
+    k_chunk = min(k_chunk, s_k)
+    if kv_valid is None:
+        kv_valid = s_k
+    # pad to multiples
     import math as _math
 
-    nq = _math.ceil(s / q_chunk)
-    nk = _math.ceil(s / k_chunk)
+    nq = _math.ceil(s_q / q_chunk)
+    nk = _math.ceil(s_k / k_chunk)
     s_q_pad, s_k_pad = nq * q_chunk, nk * k_chunk
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, s_q_pad - s), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, s_k_pad - s), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, s_k_pad - s), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, s_q_pad - s_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, s_k_pad - s_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, s_k_pad - s_k), (0, 0)))
 
     qg = qp.reshape(b, hkv, hq // hkv, s_q_pad, hd)
     q_blocks = jnp.stack(jnp.split(qg, nq, axis=3), 0)  # (nq, b, hkv, qpk, qc, hd)
@@ -262,7 +392,7 @@ def blockwise_causal_attention(
 
     def one_q_block(carry, inputs):
         qi, qb = inputs  # qb: (b, hkv, qpk, qc, hd)
-        q_start = qi * q_chunk
+        q_start = q_offset + qi * q_chunk
 
         def kv_step(state, kv_inputs):
             m_prev, l_prev, acc = state
@@ -277,7 +407,7 @@ def blockwise_causal_attention(
             cols = k_start + jax.lax.broadcasted_iota(
                 jnp.int32, (q_chunk, k_chunk), 1
             )
-            mask = (cols <= rows) & (cols < s)
+            mask = (cols <= rows) & (cols < kv_valid)
             if window is not None:
                 mask &= cols > rows - window
             sc = jnp.where(mask[None, None, None], sc, NEG_INF)
@@ -307,4 +437,4 @@ def blockwise_causal_attention(
     # (nq, b, hkv, qpk, qc, hd_v) -> (b, hq, s, hd_v)
     out = jnp.moveaxis(outs, 0, 3).reshape(b, hkv, hq // hkv, s_q_pad, hd_v)
     out = out.reshape(b, hq, s_q_pad, hd_v)
-    return out[:, :, :s]
+    return out[:, :, :s_q]

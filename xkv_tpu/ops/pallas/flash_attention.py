@@ -197,3 +197,54 @@ def flash_attention_fwd(
     # (b, hkv, q_per_kv, s_q_pad, hd) -> (b, s_q, hq, hd)
     out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, s_q_pad, hq, hd)
     return out[:, :s_q] if s_q_pad != s_q else out
+
+
+def flash_attention_tp(
+    mesh,
+    q: jax.Array,  # (b, hq, s_q, hd)
+    k: jax.Array,  # (b, hkv, s_k, hd)
+    v: jax.Array,  # (b, hkv, s_k, hd)
+    *,
+    scale: float,
+    causal: bool = True,
+    window: Optional[int] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+    model_axis: str = "model",
+) -> jax.Array:
+    """Tensor-parallel prefill flash attention: heads sharded over the
+    mesh's model axis via an explicit shard_map (pallas_call has no GSPMD
+    partitioning rules, so the kernel is wrapped rather than annotated).
+
+    Collective-free: each shard holds whole KV heads plus their q_per_kv
+    query heads (contiguous chunks of the kv-head-major q layout), so every
+    head's softmax and output are complete on one shard. The downstream
+    o_proj contraction gets the usual Megatron psum from GSPMD.
+
+    Returns (b, s_q, hq, hd), sharded on the head axis (2).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[model_axis]
+    hkv = k.shape[1]
+    assert hkv % n == 0, "kv heads must divide the model axis"
+
+    def local(q_l, k_l, v_l):
+        return flash_attention_fwd(
+            q_l, k_l, v_l, scale=scale, causal=causal, window=window,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, model_axis, None, None),
+            P(None, model_axis, None, None),
+            P(None, model_axis, None, None),
+        ),
+        out_specs=P(None, None, model_axis, None),
+        check_vma=False,
+    )(q, k, v)

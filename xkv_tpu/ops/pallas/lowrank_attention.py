@@ -80,11 +80,56 @@ def _repeat_cols(x: jax.Array, reps: int, interpret: bool) -> jax.Array:
     return pltpu.repeat(x, reps, axis=1)
 
 
+def _lowrank_sparse_kernel(
+    ids_ref,  # (b, n_sel) int32 scalar-prefetch — selected chunk ids
+    qa_ref,  # (1, hq, hkv*hd)
+    qb_ref,
+    head_mask_ref,
+    len_ref,  # (b, 1) int32 SMEM
+    k_us_ref,  # (1, block_s, rk) — block si = chunk ids_ref[bi, si]
+    k_vt_ref,
+    v_us_ref,
+    v_vt_ref,
+    v_scale_ref,
+    cos_ref,  # (block_s, hd/2) — rows of chunk ids_ref[bi, si]
+    sin_ref,
+    trig_t_ref,
+    o_ref,
+    lse_ref,
+    m_scratch,
+    l_scratch,
+    t_scratch,
+    *,
+    block_s: int,
+    hkv: int,
+    hd: int,
+    quantized: bool,
+    interpret: bool,
+):
+    """Sparse top-k variant: identical math to ``_lowrank_kernel`` but the
+    sequence grid walks the SELECTED chunks only — Pallas's scalar-prefetch
+    index maps stream just those blocks from HBM (no gather copies, no
+    reconstruction of unselected chunks). Column masking uses the chunk's
+    absolute offset."""
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    _lowrank_block_body(
+        qa_ref, qb_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
+        v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref, trig_t_ref,
+        o_ref, lse_ref, m_scratch, l_scratch, t_scratch,
+        bi=bi, si=si, num_s=pl.num_programs(1),
+        col_offset=ids_ref[bi, si] * block_s,
+        block_s=block_s, hkv=hkv, hd=hd,
+        quantized=quantized, interpret=interpret,
+    )
+
+
 def _lowrank_kernel(
     qa_ref,  # (1, hq, hkv*hd)  q block-diag embed, scales folded (see wrapper)
     qb_ref,  # (1, hq, hkv*hd)  [q2, -q1] embed, scales folded
     head_mask_ref,  # (hq, hkv*hd)  1.0 on own head's columns, else 0.0
-    len_ref,  # (1, 1) int32 in SMEM — this sequence's valid prefill length
+    len_ref,  # (b, 1) int32 in SMEM — per-sequence valid prefill lengths
+              # (full array: Mosaic rejects (1,1) blocks of a (b,1) array)
     k_us_ref,  # (1, block_s, rk)
     k_vt_ref,  # (1, rk, hkv*hd)
     v_us_ref,  # (1, block_s, rv)
@@ -106,9 +151,48 @@ def _lowrank_kernel(
     quantized: bool,
     interpret: bool,
 ):
+    bi = pl.program_id(0)
     si = pl.program_id(1)
-    num_s = pl.num_programs(1)
+    _lowrank_block_body(
+        qa_ref, qb_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
+        v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref, trig_t_ref,
+        o_ref, lse_ref, m_scratch, l_scratch, t_scratch,
+        bi=bi, si=si, num_s=pl.num_programs(1),
+        col_offset=si * block_s,
+        block_s=block_s, hkv=hkv, hd=hd,
+        quantized=quantized, interpret=interpret,
+    )
 
+
+def _lowrank_block_body(
+    qa_ref,
+    qb_ref,
+    head_mask_ref,
+    len_ref,
+    k_us_ref,
+    k_vt_ref,
+    v_us_ref,
+    v_vt_ref,
+    v_scale_ref,
+    cos_ref,
+    sin_ref,
+    trig_t_ref,
+    o_ref,
+    lse_ref,
+    m_scratch,
+    l_scratch,
+    t_scratch,
+    *,
+    bi,
+    si,
+    num_s,
+    col_offset,
+    block_s: int,
+    hkv: int,
+    hd: int,
+    quantized: bool,
+    interpret: bool,
+):
     @pl.when(si == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
@@ -155,8 +239,8 @@ def _lowrank_kernel(
         preferred_element_type=jnp.float32,
     )  # (hq, block_s); attention scale + int8 scale folded into qa/qb
     col_mask = (
-        si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
-    ) < len_ref[0, 0]
+        col_offset + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+    ) < len_ref[bi, 0]
     s = jnp.where(col_mask, s, NEG_INF)
 
     # ---- online softmax over all hq rows at once ----
@@ -312,7 +396,7 @@ def lowrank_decode_attention(
             pl.BlockSpec((1, hq, m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, hq, m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((hq, m), lambda bi, si: (0, 0)),
-            pl.BlockSpec((1, 1), lambda bi, si: (bi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_s, k_us.shape[2]), lambda bi, si: (bi, si, 0)),
             pl.BlockSpec((1, k_us.shape[2], m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
@@ -340,6 +424,151 @@ def lowrank_decode_attention(
         interpret=interpret,
     )(qa_emb, qb_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice,
       v_rank_scale, cos_p, sin_p, trig_t)
+
+    return out[:, :, None, :], lse[:, 0, :, None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "num_kv_heads", "block", "interpret")
+)
+def sparse_lowrank_decode_attention(
+    q_pre: jax.Array,  # (b, hq, 1, hd) PRE-RoPE decode queries
+    k_us: jax.Array,  # (b, s_p, rk)
+    k_vt_slice: jax.Array,  # (b, rk, hkv*hd)
+    v_us: jax.Array,  # (b, s_p, rv)
+    v_vt_slice: jax.Array,
+    cos_p: jax.Array,  # (s_p, hd)
+    sin_p: jax.Array,
+    cos_t: jax.Array,  # (b, hd)
+    sin_t: jax.Array,
+    chunk_ids: jax.Array,  # (b, n_sel) int32 — selected chunks
+    lengths: Optional[jax.Array] = None,
+    k_scale_slice: Optional[jax.Array] = None,
+    v_rank_scale: Optional[jax.Array] = None,
+    *,
+    scale: float,
+    num_kv_heads: int,
+    block: int,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse top-k fused decode attention: the grid walks only the selected
+    ``block``-row chunks per sequence, with Pallas scalar-prefetch index
+    maps streaming exactly those blocks of k_us / v_us and the position
+    tables from HBM. No gather copies exist anywhere; reconstruction FLOPs
+    and factor traffic drop from s_p to n_sel*block rows per layer.
+
+    Same contract as ``lowrank_decode_attention`` otherwise (module
+    docstring): pre-RoPE query + relative-angle rotation in-kernel, returns
+    a mergeable (out, lse) partial.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hq, ql, hd = q_pre.shape
+    assert ql == 1
+    hkv = num_kv_heads
+    q_per_kv = hq // hkv
+    s_p = k_us.shape[1]
+    rv = v_us.shape[2]
+    half = hd // 2
+    m = hkv * hd
+    n_sel = chunk_ids.shape[1]
+
+    # Pad rows to whole chunks (selection never emits out-of-range ids; the
+    # padded rows only exist so BlockSpec blocks are full-size).
+    nc = -(-s_p // block)
+    s_pad = nc * block
+    table_dtype = jnp.float32 if k_us.dtype == jnp.float32 else jnp.bfloat16
+    cos_h = cos_p[:, :half].astype(table_dtype)
+    sin_h = sin_p[:, :half].astype(table_dtype)
+    if s_pad != s_p:
+        k_us = jnp.pad(k_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        v_us = jnp.pad(v_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        cos_h = jnp.pad(cos_h, ((0, s_pad - s_p), (0, 0)))
+        sin_h = jnp.pad(sin_h, ((0, s_pad - s_p), (0, 0)))
+
+    trig_t = jnp.stack(
+        [cos_t[:, :half], sin_t[:, :half]], axis=1
+    ).astype(jnp.float32)
+
+    q3 = q_pre[:, :, 0, :].astype(jnp.float32)
+    qb3 = jnp.concatenate([q3[..., half:], -q3[..., :half]], axis=-1)
+    head_ids = jnp.repeat(jnp.arange(hkv), q_per_kv)
+    col_head = jnp.repeat(jnp.arange(hkv), hd)
+    head_mask = (head_ids[:, None] == col_head[None, :]).astype(q_pre.dtype)
+    fold = scale
+    quantized = k_us.dtype == jnp.int8
+    if quantized:
+        assert k_scale_slice is not None and v_rank_scale is not None
+        fold = fold * k_scale_slice.astype(jnp.float32)
+        v_rank_scale = v_rank_scale.astype(jnp.float32)
+    else:
+        v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
+    emb_dtype = q_pre.dtype if q_pre.dtype != jnp.float32 else jnp.float32
+    qa_emb = (jnp.tile(q3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
+    qb_emb = (jnp.tile(qb3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
+
+    if lengths is None:
+        lengths = jnp.full((b,), s_p, jnp.int32)
+    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _lowrank_sparse_kernel,
+        block_s=block,
+        hkv=hkv,
+        hd=hd,
+        quantized=quantized,
+        interpret=interpret,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_sel),
+        in_specs=[
+            pl.BlockSpec((1, hq, m), lambda bi, si, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, hq, m), lambda bi, si, ids: (bi, 0, 0)),
+            pl.BlockSpec((hq, m), lambda bi, si, ids: (0, 0)),
+            pl.BlockSpec(
+                (b, 1), lambda bi, si, ids: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, block, k_us.shape[2]),
+                lambda bi, si, ids: (bi, ids[bi, si], 0),
+            ),
+            pl.BlockSpec((1, k_us.shape[2], m), lambda bi, si, ids: (bi, 0, 0)),
+            pl.BlockSpec(
+                (1, block, rv), lambda bi, si, ids: (bi, ids[bi, si], 0)
+            ),
+            pl.BlockSpec((1, rv, m), lambda bi, si, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, rv), lambda bi, si, ids: (bi, 0, 0)),
+            pl.BlockSpec((block, half), lambda bi, si, ids: (ids[bi, si], 0)),
+            pl.BlockSpec((block, half), lambda bi, si, ids: (ids[bi, si], 0)),
+            pl.BlockSpec((1, 2, half), lambda bi, si, ids: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hq, hd), lambda bi, si, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, hq), lambda bi, si, ids: (bi, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, rv), jnp.float32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, hd), q_pre.dtype),
+            jax.ShapeDtypeStruct((b, 8, hq), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(chunk_ids.astype(jnp.int32), qa_emb, qb_emb, head_mask, lengths,
+      k_us, k_vt_slice, v_us, v_vt_slice, v_rank_scale, cos_h, sin_h, trig_t)
 
     return out[:, :, None, :], lse[:, 0, :, None]
 
