@@ -121,6 +121,32 @@ def test_int8_factors_accuracy(trained_params):
     assert acc_q >= acc_base - 0.12, f"int8 factors lost accuracy: {acc_q}"
 
 
+def test_sparse_topk_accuracy(trained_params):
+    """Sparse top-k decode on the retrieval task: full chunk coverage is
+    exact; dropping a quarter of the chunks must keep recall close (the
+    landmark scores are content-matched — precisely the induction-head
+    query — so the needed chunk ranks high)."""
+    xkv = xkv_with_rank(FULL_RANK)
+    acc_full = recall_accuracy(make_engine(trained_params, "factored", xkv))
+    # prompt len = 1 + M + keep = 29 -> 4 chunks of 8
+    acc_all = recall_accuracy(
+        make_engine(
+            trained_params, "factored", xkv, sparse_topk=4, sparse_block=8
+        )
+    )
+    assert acc_all == acc_full, "full-coverage sparse changed accuracy"
+    acc_3of4 = recall_accuracy(
+        make_engine(
+            trained_params, "factored", xkv, sparse_topk=3, sparse_block=8
+        )
+    )
+    assert acc_3of4 >= acc_full - 0.10, (
+        f"sparse 3/4 lost too much recall: {acc_full} -> {acc_3of4}"
+    )
+    print(f"\nsparse gate: full={acc_full:.3f} all={acc_all:.3f} "
+          f"3of4={acc_3of4:.3f}")
+
+
 def test_fake_mode_matches_factored_accuracy(trained_params):
     """Reference-parity fake mode and the real factored cache agree on
     task accuracy at the same rank."""

@@ -79,30 +79,50 @@ def test_sparse_subset_close_to_full(params):
 
 
 def test_select_topk_chunks_ranks_planted_chunk():
+    """A single high-similarity key planted inside one chunk must rank that
+    chunk's upper bound above chunks of random keys (the failure mode of
+    mean landmarks)."""
+    from xkv_tpu.engine.compression import chunk_bounds
     from xkv_tpu.ops.attention import select_topk_chunks
 
     rng = np.random.default_rng(2)
-    b, hq, hkv, hd, rk, nc, blk = 1, 4, 2, 16, 8, 6, 4
-    m = hkv * hd
-    # Factors whose chunk means are random except chunk 3, planted to align
-    # with q.
+    b, hq, hkv, hd, nc, blk = 1, 4, 2, 16, 6, 4
     q = jnp.asarray(rng.standard_normal((b, hq, 1, hd)), jnp.float32)
-    vt = jnp.asarray(rng.standard_normal((b, rk, m)), jnp.float32)
-    cmeans = jnp.asarray(0.01 * rng.standard_normal((b, nc, rk)), jnp.float32)
-    # plant: mean_k of chunk 3 ~ q broadcast over kv heads (pre-RoPE approx:
-    # use identity tables so RoPE is a no-op)
-    target = jnp.tile(q[0, 0, 0], (hkv,))  # (m,)
-    plant = jnp.linalg.lstsq(np.asarray(vt[0]).T, np.asarray(target))[0]
-    cmeans = cmeans.at[0, 3].set(10.0 * jnp.asarray(plant))
-    cos_c = jnp.ones((nc, hd), jnp.float32)
-    sin_c = jnp.zeros((nc, hd), jnp.float32)
+    keys = 0.3 * rng.standard_normal((b, nc * blk, hkv * hd))
+    # plant ONE key row (row 2 of chunk 3) matching q on both kv heads
+    keys[0, 3 * blk + 2] = 3.0 * np.tile(np.asarray(q[0, 0, 0]), hkv)
+    kmin, kmax = chunk_bounds(
+        jnp.asarray(keys, jnp.float32), None, None, blk, hkv
+    )
     ids = select_topk_chunks(
-        q, cmeans, vt, cos_c, sin_c, n_select=3, num_kv_heads=hkv, block=blk
+        q, kmin, kmax, n_select=3, num_kv_heads=hkv, block=blk
     )
     picked = set(np.asarray(ids)[0].tolist())
     assert 0 in picked  # sink
     assert nc - 1 in picked  # recency
     assert 3 in picked  # planted content chunk
+
+
+def test_chunk_bounds_are_valid_bounds():
+    """chunk_bounds(..., cos, sin) must bound every post-RoPE key row
+    elementwise, including with a partial final chunk."""
+    from xkv_tpu.engine.compression import chunk_bounds
+    from xkv_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    rng = np.random.default_rng(3)
+    b, hkv, hd, s, blk = 2, 2, 8, 21, 8  # 21 rows -> 3 chunks, last partial
+    k_pre = jnp.asarray(rng.standard_normal((b, s, hkv * hd)), jnp.float32)
+    cos, sin = rope_cos_sin(jnp.arange(s), hd, theta=10000.0)
+    kmin, kmax = chunk_bounds(k_pre, cos, sin, blk, hkv)
+    from xkv_tpu.compress.svd import heads_to_matrix, matrix_to_heads
+
+    k_rot = heads_to_matrix(
+        apply_rope(matrix_to_heads(k_pre, hkv), cos[None], sin[None])
+    )
+    for c in range(3):
+        rows = np.asarray(k_rot[:, c * blk: (c + 1) * blk])
+        assert (np.asarray(kmin)[:, c][:, None] <= rows + 1e-6).all()
+        assert (np.asarray(kmax)[:, c][:, None] >= rows - 1e-6).all()
 
 
 def test_sparse_int8_runs(params):

@@ -47,11 +47,14 @@ class GroupFactors:
     v_vt: Optional[jax.Array] = None  # (b, rv, g*hkv*hd)
     k_scale: Optional[jax.Array] = None  # (b, 1, g*hkv*hd) fp32 (int8 only)
     v_scale: Optional[jax.Array] = None  # (b, 1, rv) fp32 (int8 only)
-    # Landmark chunk means of k_us rows (b, n_chunks, rk) fp32 — present
-    # when the engine's sparse top-k decode is enabled. Selection
-    # reconstructs only these means (s/chunk times cheaper than full K) to
-    # score chunks, then attention touches only the top-k chunks' rows.
-    k_cmeans: Optional[jax.Array] = None
+    # Quest-style per-chunk elementwise bounds of the POST-RoPE group keys,
+    # (b, n_chunks, g*hkv*hd) each — present when the engine's sparse top-k
+    # decode is enabled. U_c = qpos.kmax + qneg.kmin upper-bounds every true
+    # q.k score inside the chunk, so selection never underrates the chunk
+    # holding the best-matching key (chunk means wash single keys out).
+    # Per-layer selection takes the same column slice as k_vt.
+    k_cmin: Optional[jax.Array] = None
+    k_cmax: Optional[jax.Array] = None
 
 
 @struct.dataclass
@@ -122,7 +125,7 @@ class XKVCache:
                 k_us=rep(g.k_us, 0), k_vt=rep(g.k_vt, 0),
                 v_us=rep(g.v_us, 0), v_vt=rep(g.v_vt, 0),
                 k_scale=rep(g.k_scale, 0), v_scale=rep(g.v_scale, 0),
-                k_cmeans=rep(g.k_cmeans, 0),
+                k_cmin=rep(g.k_cmin, 0), k_cmax=rep(g.k_cmax, 0),
             )
             for g in self.groups
         )
@@ -140,7 +143,8 @@ class XKVCache:
         excluding the tail (which exists in both compressed and baseline)."""
         total_bytes = 0
         for g in self.groups:
-            for f in (g.k_us, g.k_vt, g.v_us, g.v_vt, g.k_scale, g.v_scale):
+            for f in (g.k_us, g.k_vt, g.v_us, g.v_vt, g.k_scale, g.v_scale,
+                      g.k_cmin, g.k_cmax):
                 if f is not None:
                     total_bytes += f.size * f.dtype.itemsize
         for d in (self.dense_k, self.dense_v):

@@ -43,6 +43,9 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--max_length", type=int, default=4096)
     parser.add_argument("--prefill_frac", type=float, default=0.5)
+    parser.add_argument("--stride", type=int, default=None,
+                        help="sliding-window stride for texts longer than "
+                        "--max_length (reference --stride; default: truncate)")
     parser.add_argument("--num_texts", type=int, default=-1)
     parser.add_argument("--output", type=str, default=None)
     args = parser.parse_args(argv)
@@ -72,7 +75,7 @@ def main(argv=None):
     t0 = time.time()
     result = evaluate_texts(
         engine, tokenizer, texts, max_length=args.max_length,
-        prefill_frac=args.prefill_frac,
+        prefill_frac=args.prefill_frac, stride=args.stride,
     )
     elapsed = time.time() - t0
 

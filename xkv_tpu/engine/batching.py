@@ -170,8 +170,11 @@ class BatchedEngine:
                         )
                     if self.sparse_topk is not None:
                         nc = -(-S // self.sparse_block)
-                        kw["k_cmeans"] = jnp.zeros(
-                            (B, nc, grp.rank_k), jnp.float32
+                        kw["k_cmin"] = jnp.zeros(
+                            (B, nc, g * hkv * hd), self.cache_dtype
+                        )
+                        kw["k_cmax"] = jnp.zeros(
+                            (B, nc, g * hkv * hd), self.cache_dtype
                         )
                 else:
                     for l in grp.layers:
@@ -366,7 +369,8 @@ class BatchedEngine:
                     v_vt=ins_field(gd.v_vt, gs.v_vt),
                     k_scale=ins_field(gd.k_scale, gs.k_scale),
                     v_scale=ins_field(gd.v_scale, gs.v_scale),
-                    k_cmeans=ins_field(gd.k_cmeans, gs.k_cmeans, pad_axis=1),
+                    k_cmin=ins_field(gd.k_cmin, gs.k_cmin, pad_axis=1),
+                    k_cmax=ins_field(gd.k_cmax, gs.k_cmax, pad_axis=1),
                 )
             )
         dense_k = {

@@ -52,17 +52,41 @@ def _split_group_matrix(mat: jax.Array, g: int, hkv: int) -> List[jax.Array]:
     ]
 
 
-def chunk_means(us: jax.Array, block: int) -> jax.Array:
-    """Landmark means of ``us`` rows per ``block``-row chunk, (b, nc, r)
-    fp32. Zero-padded rows attenuate the boundary chunk's mean — fine for
-    selection (the last valid chunk is force-included by the selector)."""
-    b, s, r = us.shape
+_BOUND_BIG = 3e38  # padding sentinel; makes padded-only chunks unselectable
+
+
+def chunk_bounds(
+    k_mat: jax.Array,  # (b, s, n_heads*hd) PRE-RoPE group/layer key matrix
+    cos: jax.Array,  # (s, hd) RoPE tables (None -> no rotation)
+    sin: jax.Array,
+    block: int,
+    n_heads: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quest-style per-chunk elementwise (min, max) of the POST-RoPE keys,
+    each (b, nc, n_heads*hd) fp32.
+
+    ``U_c = qpos.kmax + qneg.kmin`` then upper-bounds every q.k in chunk c
+    (Quest, arXiv:2406.10774 — selection criterion only; realized here over
+    the factored xKV cache). Padding rows are excluded by +/-BIG sentinels,
+    so an all-padding chunk scores -inf-like and is never selected.
+    """
+    from xkv_tpu.compress.svd import heads_to_matrix as h2m
+    from xkv_tpu.compress.svd import matrix_to_heads as m2h
+
+    b, s, m = k_mat.shape
+    if cos is not None:
+        heads = m2h(k_mat, n_heads)  # (b, n_heads, s, hd)
+        k_mat = h2m(apply_rope(heads, cos[None], sin[None]))
+    k_mat = k_mat.astype(jnp.float32)
     nc = -(-s // block)
     pad = nc * block - s
-    usf = us.astype(jnp.float32)
+    lo, hi = k_mat, k_mat
     if pad:
-        usf = jnp.pad(usf, ((0, 0), (0, pad), (0, 0)))
-    return jnp.mean(usf.reshape(b, nc, block, r), axis=2)
+        lo = jnp.pad(lo, ((0, 0), (0, pad), (0, 0)), constant_values=_BOUND_BIG)
+        hi = jnp.pad(hi, ((0, 0), (0, pad), (0, 0)), constant_values=-_BOUND_BIG)
+    kmin = jnp.min(lo.reshape(b, nc, block, m), axis=2)
+    kmax = jnp.max(hi.reshape(b, nc, block, m), axis=2)
+    return kmin, kmax
 
 
 def build_cache(
@@ -86,8 +110,8 @@ def build_cache(
     rotated at read time).
     fake: store dense reconstructions instead of factors (reference parity
     mode — `fake_layer_merge_dynamic_cache.py:202-213`).
-    sparse_block: when set, also store per-chunk landmark means of k_us
-    (``chunk_means``) for the sparse top-k decode path.
+    sparse_block: when set, also store Quest-style per-chunk (min, max)
+    bounds of the post-RoPE keys (``chunk_bounds``) for sparse top-k decode.
     """
     svd_kw = dict(
         method=xkv.svd_method,
@@ -139,12 +163,16 @@ def build_cache(
                     gf_kwargs["k_us"] = fac_k.us.astype(factor_dtype)
                     gf_kwargs["k_vt"] = fac_k.vt.astype(factor_dtype)
                 if sparse_block is not None and not fake:
-                    # Means in the stored-us domain (int8 codes for the
-                    # quantized cache): mean @ vt (* out_scale) then equals
-                    # the mean of what decode reconstructs.
-                    gf_kwargs["k_cmeans"] = chunk_means(
-                        gf_kwargs["k_us"], sparse_block
+                    # Bounds from the EXACT prefill keys (tighter than from
+                    # the lossy reconstruction; selection is approximate
+                    # either way). Cast to cache_dtype: K-domain data.
+                    cmin, cmax = chunk_bounds(
+                        k_mat,
+                        cos_p if rope_dense_keys else None, sin_p,
+                        sparse_block, len(layers) * hkv,
                     )
+                    gf_kwargs["k_cmin"] = cmin.astype(cache_dtype)
+                    gf_kwargs["k_cmax"] = cmax.astype(cache_dtype)
             else:
                 for l, k in zip(layers, ks):
                     dense_k[l] = rope_dense_k(k)
@@ -320,9 +348,18 @@ def refactorize_cache(
                     k_us=fac_k.us.astype(factor_dtype),
                     k_vt=fac_k.vt.astype(factor_dtype),
                 )
-            if gf.k_cmeans is not None:
-                block = -(-s_p // gf.k_cmeans.shape[1])
-                kw["k_cmeans"] = chunk_means(kw["k_us"], block)
+            if gf.k_cmin is not None:
+                block = -(-s_p // gf.k_cmin.shape[1])
+                cos_f, sin_f = (
+                    rope_cos_sin(jnp.arange(s_p + t), cfg.head_dim,
+                                 cfg.rope_theta, cfg.rope_scaling)
+                    if rope_keys else (None, None)
+                )
+                cmin, cmax = chunk_bounds(
+                    k_ext, cos_f, sin_f, block, len(layers) * cfg.num_kv_heads
+                )
+                kw["k_cmin"] = cmin.astype(gf.k_cmin.dtype)
+                kw["k_cmax"] = cmax.astype(gf.k_cmax.dtype)
         if gf.v_us is not None:
             if gf.v_scale is not None:
                 v_mat = dequantize_v(
@@ -441,7 +478,7 @@ def refactorize_slot_cache(
         kw = dict(
             k_us=gf.k_us, k_vt=gf.k_vt, k_scale=gf.k_scale,
             v_us=gf.v_us, v_vt=gf.v_vt, v_scale=gf.v_scale,
-            k_cmeans=gf.k_cmeans,
+            k_cmin=gf.k_cmin, k_cmax=gf.k_cmax,
         )
         if gf.k_us is not None:
             if gf.k_scale is not None:
@@ -461,23 +498,30 @@ def refactorize_slot_cache(
             fac_k = factorize(k_ext, grp.rank_k, **svd_kw)
             if gf.k_scale is not None:
                 qk = quantize_k_factors(fac_k.us, fac_k.vt)
-                new_us = qk.us_q
                 kw.update(
                     k_us=put(gf.k_us, qk.us_q, 0),
                     k_vt=put(gf.k_vt, qk.vt_q, 0),
                     k_scale=put(gf.k_scale, qk.out_scale, 0),
                 )
             else:
-                new_us = fac_k.us
                 kw.update(
                     k_us=put(gf.k_us, fac_k.us, 0),
                     k_vt=put(gf.k_vt, fac_k.vt, 0),
                 )
-            if gf.k_cmeans is not None:
-                block = -(-gf.k_us.shape[1] // gf.k_cmeans.shape[1])
-                kw["k_cmeans"] = put(
-                    gf.k_cmeans, chunk_means(new_us, block), 0
+            if gf.k_cmin is not None:
+                s_rows = gf.k_us.shape[1]
+                block = -(-s_rows // gf.k_cmin.shape[1])
+                cos_f, sin_f = (
+                    rope_cos_sin(jnp.arange(s_rows), cfg.head_dim,
+                                 cfg.rope_theta, cfg.rope_scaling)
+                    if rope_keys else (None, None)
                 )
+                cmin, cmax = chunk_bounds(
+                    k_ext, cos_f, sin_f, block,
+                    len(layers) * cfg.num_kv_heads,
+                )
+                kw["k_cmin"] = put(gf.k_cmin, cmin, 0)
+                kw["k_cmax"] = put(gf.k_cmax, cmax, 0)
         if gf.v_us is not None:
             if gf.v_scale is not None:
                 v_mat = dequantize_v(QuantizedVFactors(

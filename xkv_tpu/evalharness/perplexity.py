@@ -66,6 +66,39 @@ def score_text_tokens(
     }
 
 
+def score_text_sliding_window(
+    engine,
+    input_ids: np.ndarray,
+    max_length: int,
+    stride: int,
+    prefill_frac: float = 0.5,
+) -> Dict[str, float]:
+    """Sliding-window perplexity for sequences longer than ``max_length``
+    (reference `eval_perplexity_rnn.py:138-181`): score each
+    ``max_length``-token window independently (token-weighted aggregate),
+    stepping by ``stride``. Windows overlap when stride < max_length; like
+    the reference, overlapping tokens are simply re-scored in their new
+    window context."""
+    input_ids = np.asarray(input_ids, dtype=np.int32).reshape(1, -1)
+    seq_len = input_ids.shape[1]
+    total_ll, total_tokens = 0.0, 0
+    for begin in range(0, seq_len, stride):
+        end = min(begin + max_length, seq_len)
+        window = input_ids[:, begin:end]
+        res = score_text_tokens(engine, window, prefill_frac=prefill_frac)
+        total_ll += res["avg_log_likelihood"] * res["total_tokens"]
+        total_tokens += res["total_tokens"]
+        if end == seq_len:
+            break
+    avg = total_ll / max(total_tokens, 1)
+    return {
+        "perplexity": float(np.exp(-avg)),
+        "avg_log_likelihood": avg,
+        "total_tokens": total_tokens,
+        "sequence_length": seq_len,
+    }
+
+
 def evaluate_texts(
     engine,
     tokenizer,
@@ -73,20 +106,36 @@ def evaluate_texts(
     max_length: Optional[int] = None,
     prefill_frac: float = 0.5,
     verbose: bool = True,
+    stride: Optional[int] = None,
 ) -> Dict[str, float]:
     """Aggregate perplexity over texts (token-weighted, like the reference's
-    dataset summary `eval_perplexity_rnn.py:183-275`)."""
+    dataset summary `eval_perplexity_rnn.py:183-275`).
+
+    stride: when set, sequences longer than ``max_length`` are scored with
+    the sliding-window variant instead of truncated (reference
+    `eval_perplexity_rnn.py:66-71`)."""
     total_ll, total_tokens, per_text = 0.0, 0, []
     for i, text in enumerate(texts):
         ids = tokenizer.encode(text, add_special_tokens=True)
-        if max_length is not None:
+        use_window = (
+            stride is not None
+            and max_length is not None
+            and len(ids) > max_length
+        )
+        if max_length is not None and not use_window:
             ids = ids[:max_length]
         if len(ids) < 10:
             continue
         try:
-            res = score_text_tokens(
-                engine, np.asarray(ids)[None, :], prefill_frac=prefill_frac
-            )
+            if use_window:
+                res = score_text_sliding_window(
+                    engine, np.asarray(ids)[None, :], max_length, stride,
+                    prefill_frac=prefill_frac,
+                )
+            else:
+                res = score_text_tokens(
+                    engine, np.asarray(ids)[None, :], prefill_frac=prefill_frac
+                )
         except ValueError:
             continue
         per_text.append(res)

@@ -337,23 +337,22 @@ def decode_step(
             )
             sparse_ok = (
                 sparse_select is not None
-                and gf.k_cmeans is not None
+                and gf.k_cmin is not None
                 and ql == 1
             )
             if sparse_ok:
-                nc = gf.k_cmeans.shape[1]
+                nc = gf.k_cmin.shape[1]
                 blk = sparse_block
                 assert nc == -(-gf.k_us.shape[1] // blk), (
-                    "k_cmeans chunk count does not match sparse_block")
-                centers = jnp.clip(
-                    jnp.arange(nc) * blk + blk // 2, 0, cos_p.shape[0] - 1
-                )
+                    "k_cmin chunk count does not match sparse_block")
                 ids = select_topk_chunks(
-                    q, gf.k_cmeans, factored_args[2],
-                    cos_p[centers], sin_p[centers],
+                    q,
+                    vt_layer_slice(gf.k_cmin, gpos, cfg.num_kv_heads,
+                                   cfg.head_dim),
+                    vt_layer_slice(gf.k_cmax, gpos, cfg.num_kv_heads,
+                                   cfg.head_dim),
                     n_select=min(sparse_select, nc),
                     num_kv_heads=cfg.num_kv_heads,
-                    k_scale_slice=k_scale_slice,
                     block=blk,
                 )
                 if attention_impl == "pallas" and ql == 1 and pallas_ok \
@@ -537,22 +536,21 @@ def decode_step_batched(
                 else vt_layer_slice(gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim)
             )
             pallas_ok_b = cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu"
-            sparse_ok_b = sparse_select is not None and gf.k_cmeans is not None
+            sparse_ok_b = sparse_select is not None and gf.k_cmin is not None
             if sparse_ok_b:
-                nc = gf.k_cmeans.shape[1]
+                nc = gf.k_cmin.shape[1]
                 blk = sparse_block
                 assert nc == -(-gf.k_us.shape[1] // blk), (
-                    "k_cmeans chunk count does not match sparse_block")
-                centers = jnp.clip(
-                    jnp.arange(nc) * blk + blk // 2, 0, cos_p.shape[0] - 1
-                )
+                    "k_cmin chunk count does not match sparse_block")
                 ids = select_topk_chunks(
-                    q, gf.k_cmeans, fargs[2],
-                    cos_p[centers], sin_p[centers],
+                    q,
+                    vt_layer_slice(gf.k_cmin, gpos, cfg.num_kv_heads,
+                                   cfg.head_dim),
+                    vt_layer_slice(gf.k_cmax, gpos, cfg.num_kv_heads,
+                                   cfg.head_dim),
                     n_select=min(sparse_select, nc),
                     num_kv_heads=cfg.num_kv_heads,
                     valid_len=prefill_len,
-                    k_scale_slice=k_scale_slice,
                     block=blk,
                 )
                 if attention_impl == "pallas" and pallas_ok_b:
