@@ -146,6 +146,9 @@ def main():
     ap.add_argument("--sparse", type=int, default=None,
                     help="sparse top-k decode: attend to N prefill chunks")
     ap.add_argument("--sparse-block", type=int, default=1024)
+    ap.add_argument("--no-sparse-extra", action="store_true",
+                    help="skip the supplementary sparse-decode measurement "
+                    "in the default headline run")
     args = ap.parse_args()
 
     from xkv_tpu.engine import InferenceEngine
@@ -204,18 +207,27 @@ def main():
         f"matched batch {b_fact}" if args.matched
         else f"serving, batch {b_fact} vs dense max {b_dense}"
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"decode tokens/s/chip @ {ctx} ctx, 8x KV compression "
-                f"({kind} geometry, {cfg.num_layers} layers, {attention_impl}, "
-                f"{args.factor_dtype} factors, {mode_desc})",
-                "value": round(tps_fact, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(tps_fact / tps_none, 3),
-            }
+    record = {
+        "metric": f"decode tokens/s/chip @ {ctx} ctx, 8x KV compression "
+        f"({kind} geometry, {cfg.num_layers} layers, {attention_impl}, "
+        f"{args.factor_dtype} factors, {mode_desc})",
+        "value": round(tps_fact, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps_fact / tps_none, 3),
+    }
+    # Supplementary: opt-in approximate sparse top-k decode at the same
+    # batch (headline value/vs_baseline stay EXACT factored attention).
+    if not (args.quick or args.matched or args.no_sparse_extra):
+        eng_sp = InferenceEngine(
+            params, cfg, xkv=xkv, mode="factored", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            factor_dtype=factor_dtype, prefill_logits="last",
+            sparse_topk=args.sparse or 8, sparse_block=args.sparse_block,
         )
-    )
+        tps_sp = measure_decode(eng_sp, prompt, b_fact, steps)
+        record["sparse_topk_tokens_per_s"] = round(tps_sp, 2)
+        record["sparse_topk_vs_baseline"] = round(tps_sp / tps_none, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -385,3 +385,38 @@ def test_prefill_last_logits_matches_full(params, prompt):
     # caches are unaffected
     np.testing.assert_allclose(np.asarray(cl.groups[0].k_us),
                                np.asarray(ca.groups[0].k_us), rtol=1e-6)
+
+
+def test_sliding_window_perplexity_matches_manual(params):
+    """score_text_sliding_window == token-weighted aggregate of per-window
+    score_text_tokens (reference eval_perplexity_rnn.py:138-181 semantics),
+    and a short sequence scored windowed with max_length >= len equals the
+    plain path."""
+    from xkv_tpu.evalharness.perplexity import (
+        score_text_sliding_window,
+        score_text_tokens,
+    )
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 40)).astype(np.int32)
+    eng = make_engine(params, "none")
+
+    win = score_text_sliding_window(eng, ids, max_length=16, stride=12)
+    total_ll = total_tok = 0.0
+    for begin in range(0, 40, 12):
+        end = min(begin + 16, 40)
+        r = score_text_tokens(eng, ids[:, begin:end])
+        total_ll += r["avg_log_likelihood"] * r["total_tokens"]
+        total_tok += r["total_tokens"]
+        if end == 40:
+            break
+    assert win["total_tokens"] == total_tok
+    np.testing.assert_allclose(
+        win["perplexity"], np.exp(-total_ll / total_tok), rtol=1e-6
+    )
+
+    whole = score_text_tokens(eng, ids)
+    one_win = score_text_sliding_window(eng, ids, max_length=64, stride=64)
+    np.testing.assert_allclose(
+        one_win["perplexity"], whole["perplexity"], rtol=1e-6
+    )
