@@ -230,3 +230,48 @@ def test_sharded_engine_pallas_prefill_matches_unsharded(params):
     np.testing.assert_allclose(
         np.asarray(l_tp), np.asarray(l_ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_sparse_tp_full_coverage_matches_unsharded(params):
+    """Sparse decode under the TP mesh (per-shard Quest selection +
+    scalar-prefetch kernel in shard_map) with n_select == n_chunks must
+    equal the unsharded NON-sparse engine exactly (all chunks attended)."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, CFG.vocab_size, size=(2, 32)).astype(np.int32)
+    common = dict(
+        xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    eng_ref = InferenceEngine(params, CFG, attention_impl="xla", **common)
+    eng_sp = InferenceEngine(
+        params, CFG, attention_impl="pallas",
+        mesh=make_mesh(data=2, model=4),
+        sparse_topk=4, sparse_block=8,  # 32/8 = 4 chunks: full coverage
+        **common,
+    )
+    out_r = np.asarray(eng_ref.generate(prompt, max_new_tokens=4))
+    out_s = np.asarray(eng_sp.generate(prompt, max_new_tokens=4))
+    np.testing.assert_array_equal(out_s, out_r)
+
+
+def test_sparse_tp_subset_runs(params):
+    """Per-shard selection with a chunk budget below full coverage runs and
+    produces finite tokens."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(10)
+    prompt = rng.integers(0, CFG.vocab_size, size=(2, 32)).astype(np.int32)
+    eng = InferenceEngine(
+        params, CFG, xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+        attention_impl="pallas", mesh=make_mesh(data=2, model=4),
+        sparse_topk=3, sparse_block=8,
+    )
+    out = np.asarray(eng.generate(prompt, max_new_tokens=4))
+    assert out.shape == (2, 4) and np.isfinite(out).all()

@@ -345,22 +345,33 @@ def decode_step(
                 blk = sparse_block
                 assert nc == -(-gf.k_us.shape[1] // blk), (
                     "k_cmin chunk count does not match sparse_block")
-                ids = select_topk_chunks(
-                    q,
-                    vt_layer_slice(gf.k_cmin, gpos, cfg.num_kv_heads,
-                                   cfg.head_dim),
-                    vt_layer_slice(gf.k_cmax, gpos, cfg.num_kv_heads,
-                                   cfg.head_dim),
-                    n_select=min(sparse_select, nc),
-                    num_kv_heads=cfg.num_kv_heads,
-                    block=blk,
-                )
-                if attention_impl == "pallas" and ql == 1 and pallas_ok \
-                        and mesh is None:
+                cmin_sl = vt_layer_slice(gf.k_cmin, gpos, cfg.num_kv_heads,
+                                         cfg.head_dim)
+                cmax_sl = vt_layer_slice(gf.k_cmax, gpos, cfg.num_kv_heads,
+                                         cfg.head_dim)
+                n_sel = min(sparse_select, nc)
+                if attention_impl == "pallas" and pallas_ok and tp_ok:
+                    from xkv_tpu.ops.pallas.lowrank_attention import (
+                        sparse_lowrank_decode_attention_tp,
+                    )
+
+                    out_f, lse_f = sparse_lowrank_decode_attention_tp(
+                        mesh, q_pre, q, *kernel_args, cmin_sl, cmax_sl,
+                        k_scale_slice=k_scale_slice,
+                        v_rank_scale=gf.v_scale,
+                        n_select=n_sel, scale=scale,
+                        num_kv_heads=cfg.num_kv_heads, block=blk,
+                    )
+                    parts.append(PartialAttention(out=out_f, lse=lse_f))
+                elif attention_impl == "pallas" and pallas_ok and mesh is None:
                     from xkv_tpu.ops.pallas.lowrank_attention import (
                         sparse_lowrank_decode_attention,
                     )
 
+                    ids = select_topk_chunks(
+                        q, cmin_sl, cmax_sl, n_select=n_sel,
+                        num_kv_heads=cfg.num_kv_heads, block=blk,
+                    )
                     out_f, lse_f = sparse_lowrank_decode_attention(
                         q_pre, *kernel_args, ids,
                         k_scale_slice=k_scale_slice,
@@ -370,6 +381,10 @@ def decode_step(
                     )
                     parts.append(PartialAttention(out=out_f, lse=lse_f))
                 else:
+                    ids = select_topk_chunks(
+                        q, cmin_sl, cmax_sl, n_select=n_sel,
+                        num_kv_heads=cfg.num_kv_heads, block=blk,
+                    )
                     parts.append(
                         sparse_factored_decode_attention_xla(
                             *factored_args, ids, scale, cfg.num_kv_heads,

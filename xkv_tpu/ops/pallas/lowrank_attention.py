@@ -657,3 +657,87 @@ def lowrank_decode_attention_tp(
     )(q_pre, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p, cos_t, sin_t,
       lengths, k_scale_slice, v_rank_scale)
     return out, lse
+
+
+def sparse_lowrank_decode_attention_tp(
+    mesh,
+    q_pre: jax.Array,  # (b, hq, 1, hd) PRE-RoPE
+    q_rot: jax.Array,  # (b, hq, 1, hd) POST-RoPE (for selection)
+    k_us: jax.Array,  # (b, s_p, rk)
+    k_vt_slice: jax.Array,  # (b, rk, hkv*hd) — already layer-sliced
+    v_us: jax.Array,
+    v_vt_slice: jax.Array,
+    cos_p: jax.Array,
+    sin_p: jax.Array,
+    cos_t: jax.Array,  # (b, hd)
+    sin_t: jax.Array,  # (b, hd)
+    k_cmin_slice: jax.Array,  # (b, nc, hkv*hd) — layer-sliced Quest bounds
+    k_cmax_slice: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    k_scale_slice: Optional[jax.Array] = None,
+    v_rank_scale: Optional[jax.Array] = None,
+    *,
+    n_select: int,
+    scale: float,
+    num_kv_heads: int,
+    block: int = 1024,
+    interpret: Optional[bool] = None,
+    model_axis: str = "model",
+) -> Tuple[jax.Array, jax.Array]:
+    """Tensor-parallel sparse top-k decode: kv heads sharded over the model
+    axis, chunk selection PER SHARD.
+
+    Each shard runs Quest-bound selection over its own heads' bound columns
+    and streams only its selected chunks — selection granularity is finer
+    than the single-device global max-over-heads (a shard never wastes its
+    chunk budget on another shard's retrieval targets), and the whole path
+    stays collective-free like ``lowrank_decode_attention_tp``.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from xkv_tpu.ops.attention import select_topk_chunks
+
+    n = mesh.shape[model_axis]
+    hkv_local = num_kv_heads // n
+    assert num_kv_heads % n == 0, "kv heads must divide the model axis"
+    b = q_pre.shape[0]
+    s_p = k_us.shape[1]
+    if lengths is None:
+        lengths = jnp.full((b,), s_p, jnp.int32)
+
+    quantized = k_us.dtype == jnp.int8
+    if not quantized:
+        rv = v_us.shape[2]
+        k_scale_slice = jnp.ones((b, 1, k_vt_slice.shape[2]), jnp.float32)
+        v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
+
+    def local(qp_l, qr_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint,
+              cmin_l, cmax_l, lens, ks_l, vs_l):
+        ids = select_topk_chunks(
+            qr_l, cmin_l, cmax_l, n_select=n_select,
+            num_kv_heads=hkv_local, valid_len=lens, block=block,
+        )
+        return sparse_lowrank_decode_attention(
+            qp_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint, ids,
+            lengths=lens,
+            k_scale_slice=ks_l if quantized else None,
+            v_rank_scale=vs_l if quantized else None,
+            scale=scale, num_kv_heads=hkv_local, block=block,
+            interpret=interpret,
+        )
+
+    rep = P()
+    hs = P(None, model_axis, None, None)  # heads sharded (kv-head-major)
+    cols = P(None, None, model_axis)  # columns by kv head
+    out, lse = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(hs, hs, rep, cols, rep, cols, rep, rep, rep, rep,
+                  cols, cols, rep, cols, rep),
+        out_specs=(hs, P(None, model_axis, None)),
+        check_vma=False,
+    )(q_pre, q_rot, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p,
+      cos_t, sin_t, k_cmin_slice, k_cmax_slice, lengths, k_scale_slice,
+      v_rank_scale)
+    return out, lse
