@@ -33,6 +33,34 @@ from xkv_tpu.models.config import ModelConfig
 
 
 @struct.dataclass
+class SlerpCompact:
+    """Compact storage for one merged side (K or V) of a 2-layer SLERP
+    (MiniCache) group — realizing the memory saving the reference's fake
+    path cannot (`fake_layer_merge_dynamic_cache.py:93-100` stores both
+    layers dense).
+
+    After the MiniCache merge, divergent rows of the two layers are exactly
+    parallel (both are ``merged_unit * norm_l``), so one shared direction
+    row + two scalars represents them losslessly; only the non-divergent
+    rows (which keep their original, non-parallel per-layer values) need
+    both rows stored. Selection is by the CURRENT angle between the two
+    stored rows (largest first), which also makes re-compaction after a
+    tail fold idempotent. K rows are stored post-RoPE: rotation at a shared
+    position preserves angles and commutes with the per-layer scalar norms.
+
+    base:      (b, hkv, s, hd) shared unit direction per row.
+    norms:     (b, hkv, s, 2) per-layer row norms.
+    keep_idx:  (b, hkv, D) positions whose exact rows are kept.
+    keep_rows: (b, hkv, D, 2, hd) exact rows of both layers at keep_idx.
+    """
+
+    base: jax.Array
+    norms: jax.Array
+    keep_idx: jax.Array
+    keep_rows: jax.Array
+
+
+@struct.dataclass
 class GroupFactors:
     """Low-rank factors for one layer group. Fields are None when the
     corresponding side (K or V) is not merged.
@@ -55,6 +83,9 @@ class GroupFactors:
     # Per-layer selection takes the same column slice as k_vt.
     k_cmin: Optional[jax.Array] = None
     k_cmax: Optional[jax.Array] = None
+    # Compact MiniCache storage (slerp groups with slerp_compact=true).
+    slerp_k: Optional[SlerpCompact] = None
+    slerp_v: Optional[SlerpCompact] = None
 
 
 @struct.dataclass
@@ -86,6 +117,9 @@ class XKVCache:
             for f in (g.k_us, g.v_us):
                 if f is not None:
                     return f.shape[1]
+            for sc in (g.slerp_k, g.slerp_v):
+                if sc is not None:
+                    return sc.base.shape[2]
         raise ValueError("empty cache")
 
     @property
@@ -120,12 +154,21 @@ class XKVCache:
             reps[axis] = n
             return jnp.tile(x, reps)
 
+        def rep_sc(sc):
+            if sc is None:
+                return None
+            return SlerpCompact(
+                base=rep(sc.base, 0), norms=rep(sc.norms, 0),
+                keep_idx=rep(sc.keep_idx, 0), keep_rows=rep(sc.keep_rows, 0),
+            )
+
         groups = tuple(
             GroupFactors(
                 k_us=rep(g.k_us, 0), k_vt=rep(g.k_vt, 0),
                 v_us=rep(g.v_us, 0), v_vt=rep(g.v_vt, 0),
                 k_scale=rep(g.k_scale, 0), v_scale=rep(g.v_scale, 0),
                 k_cmin=rep(g.k_cmin, 0), k_cmax=rep(g.k_cmax, 0),
+                slerp_k=rep_sc(g.slerp_k), slerp_v=rep_sc(g.slerp_v),
             )
             for g in self.groups
         )
@@ -143,10 +186,8 @@ class XKVCache:
         excluding the tail (which exists in both compressed and baseline)."""
         total_bytes = 0
         for g in self.groups:
-            for f in (g.k_us, g.k_vt, g.v_us, g.v_vt, g.k_scale, g.v_scale,
-                      g.k_cmin, g.k_cmax):
-                if f is not None:
-                    total_bytes += f.size * f.dtype.itemsize
+            for f in jax.tree_util.tree_leaves(g):
+                total_bytes += f.size * f.dtype.itemsize
         for d in (self.dense_k, self.dense_v):
             for arr in d.values():
                 total_bytes += arr.size * arr.dtype.itemsize

@@ -87,3 +87,61 @@ def minicache_merge_heads(
     hd = shape[-1]
     e1, e2 = minicache_merge(k1.reshape(-1, hd), k2.reshape(-1, hd), t=t, gamma=gamma)
     return e1.reshape(shape), e2.reshape(shape)
+
+
+def compact_pair(
+    x1: jax.Array, x2: jax.Array, keep: int
+) -> "SlerpCompact":
+    """Compact two merged layers' (b, nh, s, hd) tensors into shared
+    direction + norms + top-``keep`` exception rows (see
+    `xkv_tpu.cache.SlerpCompact`).
+
+    Selection is by the angle between the two CURRENT rows, largest first:
+    MiniCache-merged (divergent) rows are exactly parallel (angle 0, free),
+    so the budget goes to the rows that actually differ per layer — the
+    non-divergent originals the reference semantics preserve. Re-running on
+    reconstruct+tail is therefore idempotent for already-compacted rows.
+    """
+    from xkv_tpu.cache import SlerpCompact
+
+    dtype = x1.dtype
+    eps = 1e-12
+    x1f = x1.astype(jnp.float32)
+    x2f = x2.astype(jnp.float32)
+    n1 = jnp.linalg.norm(x1f, axis=-1)  # (b, nh, s)
+    n2 = jnp.linalg.norm(x2f, axis=-1)
+    u1 = x1f / jnp.maximum(n1, eps)[..., None]
+    u2 = x2f / jnp.maximum(n2, eps)[..., None]
+    dot = jnp.clip(jnp.sum(u1 * u2, axis=-1), -1.0, 1.0)
+    # Zero rows (padding / empty) are parallel by convention.
+    both = (n1 > eps) & (n2 > eps)
+    omega = jnp.where(both, jnp.arccos(dot), 0.0)  # (b, nh, s)
+
+    mid = u1 + u2
+    midn = jnp.linalg.norm(mid, axis=-1, keepdims=True)
+    base = jnp.where(midn > 1e-6, mid / jnp.maximum(midn, eps), u1)
+
+    _, keep_idx = jax.lax.top_k(omega, keep)  # (b, nh, keep)
+    rows = jnp.stack([x1f, x2f], axis=3)  # (b, nh, s, 2, hd)
+    keep_rows = jnp.take_along_axis(
+        rows, keep_idx[..., None, None], axis=2
+    )  # (b, nh, keep, 2, hd)
+    return SlerpCompact(
+        base=base.astype(dtype),
+        norms=jnp.stack([n1, n2], axis=-1).astype(jnp.float32),
+        keep_idx=keep_idx.astype(jnp.int32),
+        keep_rows=keep_rows.astype(dtype),
+    )
+
+
+def compact_reconstruct(sc, layer_pos: int, dtype=None) -> jax.Array:
+    """Reconstruct one layer's (b, nh, s, hd) rows from compact storage:
+    shared direction scaled by the layer's norm, exact rows scattered back
+    at the kept positions."""
+    base = sc.base.astype(jnp.float32) * sc.norms[..., layer_pos][..., None]
+    rows = sc.keep_rows[:, :, :, layer_pos].astype(jnp.float32)
+    b, nh, D = sc.keep_idx.shape
+    bi = jnp.arange(b)[:, None, None]
+    hi = jnp.arange(nh)[None, :, None]
+    out = base.at[bi, hi, sc.keep_idx].set(rows)
+    return out.astype(dtype if dtype is not None else sc.base.dtype)

@@ -213,6 +213,19 @@ class XKVConfig:
     def svd_seed(self) -> int:
         return int(self.extra_kwargs.get("svd_seed", 0))
 
+    @property
+    def slerp_compact(self) -> bool:
+        """Store slerp-merged layers compactly (shared direction + norms +
+        exception rows) instead of dense — the memory saving the reference's
+        fake MiniCache path never realizes."""
+        return bool(self.extra_kwargs.get("slerp_compact", False))
+
+    @property
+    def slerp_keep_frac(self) -> float:
+        """Fraction of rows whose exact per-layer values are kept (budget
+        for the non-divergent rows MiniCache leaves unmerged)."""
+        return float(self.extra_kwargs.get("slerp_keep_frac", 0.125))
+
 
 def generate_consecutive_layer_groups(
     start_layer: int, end_layer: int, group_size: int

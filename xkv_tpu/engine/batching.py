@@ -76,6 +76,11 @@ class BatchedEngine:
                 raise ValueError("DeepSeek MLA: pass merge_value=False")
         else:
             from xkv_tpu.models import llama as model_module
+        if xkv is not None and xkv.slerp_compact:
+            raise ValueError(
+                "compact slerp storage is single-stream only "
+                "(batched slots store slerp layers dense)"
+            )
         self._model = model_module
         self._mla = cfg.model_type == "deepseek_v2"
         self._quantized = factor_dtype in ("int8", jnp.int8)

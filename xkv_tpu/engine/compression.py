@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from xkv_tpu.cache import GroupFactors, XKVCache, init_tail
-from xkv_tpu.compress.slerp import minicache_merge_heads
+from xkv_tpu.compress.slerp import compact_pair, minicache_merge_heads
 from xkv_tpu.compress.svd import (
     LowRankFactors,
     factorize,
@@ -201,14 +201,27 @@ def build_cache(
             groups.append(GroupFactors(**gf_kwargs))
 
         elif xkv.layer_merge_impl == "slerp":
-            # MiniCache is inherently full-size (divergent-token fallback
-            # keeps per-layer rows); store dense merged tensors.
+            # MiniCache merge (reference semantics). Storage: dense by
+            # default / fake mode; with slerp_compact the merged pair is
+            # stored as shared direction + norms + exception rows
+            # (compress/slerp.py:compact_pair) — divergent rows are exactly
+            # parallel after the merge, so only the preserved non-divergent
+            # originals consume exception budget.
+            compact = xkv.slerp_compact and not fake
+            s_rows = ks[0].shape[2]
+            keep = max(1, int(xkv.slerp_keep_frac * s_rows))
+            gf_kwargs = {}
             if xkv.merge_key:
                 k1, k2 = minicache_merge_heads(
                     ks[0], ks[1], t=grp.slerp_t, gamma=grp.slerp_gamma
                 )
-                dense_k[layers[0]] = rope_dense_k(k1)
-                dense_k[layers[1]] = rope_dense_k(k2)
+                if compact:
+                    gf_kwargs["slerp_k"] = compact_pair(
+                        rope_dense_k(k1), rope_dense_k(k2), keep
+                    )
+                else:
+                    dense_k[layers[0]] = rope_dense_k(k1)
+                    dense_k[layers[1]] = rope_dense_k(k2)
             else:
                 for l, k in zip(layers, ks):
                     dense_k[l] = rope_dense_k(k)
@@ -216,12 +229,17 @@ def build_cache(
                 v1, v2 = minicache_merge_heads(
                     vs[0], vs[1], t=grp.slerp_t, gamma=grp.slerp_gamma
                 )
-                dense_v[layers[0]] = v1.astype(cache_dtype)
-                dense_v[layers[1]] = v2.astype(cache_dtype)
+                if compact:
+                    gf_kwargs["slerp_v"] = compact_pair(
+                        v1.astype(cache_dtype), v2.astype(cache_dtype), keep
+                    )
+                else:
+                    dense_v[layers[0]] = v1.astype(cache_dtype)
+                    dense_v[layers[1]] = v2.astype(cache_dtype)
             else:
                 for l, v in zip(layers, vs):
                     dense_v[l] = v.astype(cache_dtype)
-            groups.append(GroupFactors())
+            groups.append(GroupFactors(**gf_kwargs))
 
     # Ungrouped layers: plain dense cache, post-RoPE K (reference
     # `fake_layer_merge_dynamic_cache.py:149-152`).
@@ -384,6 +402,38 @@ def refactorize_cache(
                 kw.update(
                     v_us=fac_v.us.astype(factor_dtype),
                     v_vt=fac_v.vt.astype(factor_dtype),
+                )
+        if gf.slerp_k is not None or gf.slerp_v is not None:
+            # Compact MiniCache groups: reconstruct both layers, append the
+            # tail (rows are stored post-RoPE / V-plain — same domain the
+            # compacter works in), re-compact. Budget grows by the tail
+            # rows so previously-kept originals AND every tail row stay
+            # exact across the fold.
+            from xkv_tpu.compress.slerp import compact_reconstruct
+
+            def refold(sc, tails):
+                keep_new = sc.keep_idx.shape[2] + t
+                x1 = jnp.concatenate(
+                    [compact_reconstruct(sc, 0, jnp.float32),
+                     tails[0].astype(jnp.float32)], axis=2
+                )
+                x2 = jnp.concatenate(
+                    [compact_reconstruct(sc, 1, jnp.float32),
+                     tails[1].astype(jnp.float32)], axis=2
+                )
+                new = compact_pair(x1, x2, keep_new)
+                return new.replace(
+                    base=new.base.astype(sc.base.dtype),
+                    keep_rows=new.keep_rows.astype(sc.keep_rows.dtype),
+                )
+
+            if gf.slerp_k is not None:
+                kw["slerp_k"] = refold(
+                    gf.slerp_k, [cache.tail_k[l] for l in layers]
+                )
+            if gf.slerp_v is not None:
+                kw["slerp_v"] = refold(
+                    gf.slerp_v, [cache.tail_v[l] for l in layers]
                 )
         new_groups.append(GroupFactors(**kw))
 

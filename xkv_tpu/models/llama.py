@@ -451,6 +451,10 @@ def decode_step(
                     cos_p[None],
                     sin_p[None],
                 ).astype(q.dtype)
+            elif grp_info is not None and gf.slerp_k is not None:
+                from xkv_tpu.compress.slerp import compact_reconstruct
+
+                k_prefill = compact_reconstruct(gf.slerp_k, gpos, q.dtype)
             else:
                 k_prefill = cache.dense_k[li]
             if use_factored_v:
@@ -462,6 +466,10 @@ def decode_step(
                     cfg.num_kv_heads,
                     rank_scale=gf.v_scale,
                 ).astype(q.dtype)
+            elif grp_info is not None and gf.slerp_v is not None:
+                from xkv_tpu.compress.slerp import compact_reconstruct
+
+                v_prefill = compact_reconstruct(gf.slerp_v, gpos, q.dtype)
             else:
                 v_prefill = cache.dense_v[li]
             parts.append(dense_decode_attention_xla(q, k_prefill, v_prefill, scale))
