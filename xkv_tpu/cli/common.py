@@ -53,6 +53,14 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--factor_dtype", type=str, default="bf16",
                         choices=["bf16", "fp32", "int8"],
                         help="low-rank factor storage dtype (int8 = quantized)")
+    parser.add_argument("--sparse_topk", type=int, default=None,
+                        help="sparse decode: attend to the N best prefill "
+                        "chunks per step (Quest-bound selection)")
+    parser.add_argument("--sparse_block", type=int, default=1024)
+    parser.add_argument("--slerp_compact", action="store_true",
+                        help="compact MiniCache storage (direction + norms "
+                        "+ exception rows) for slerp groups")
+    parser.add_argument("--slerp_keep_frac", type=float, default=0.125)
     return parser
 
 
@@ -77,7 +85,11 @@ def build_xkv_config(args, num_layers: int) -> Optional[XKVConfig]:
         slerp_gamma=args.slerp_gamma,
         merge_key=args.merge_key,
         merge_value=args.merge_value,
-        extra_kwargs={"svd_method": args.svd_method},
+        extra_kwargs={
+            "svd_method": args.svd_method,
+            "slerp_compact": getattr(args, "slerp_compact", False),
+            "slerp_keep_frac": getattr(args, "slerp_keep_frac", 0.125),
+        },
     )
 
 
@@ -127,6 +139,9 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
         "bf16": jnp.bfloat16, "fp32": jnp.float32, "int8": "int8"
     }[getattr(args, "factor_dtype", "bf16")]
     kw.setdefault("factor_dtype", factor_dtype)
+    if getattr(args, "sparse_topk", None) and mode == "factored":
+        kw.setdefault("sparse_topk", args.sparse_topk)
+        kw.setdefault("sparse_block", args.sparse_block)
     return InferenceEngine(
         params, cfg, xkv=xkv, mode=mode, tail_max=tail_max,
         attention_impl=attention_impl, mesh=mesh, **kw,
