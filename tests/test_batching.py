@@ -238,3 +238,31 @@ def test_chunked_admission_validation(params):
             params, CFG, xkv=xkv_cfg(), num_slots=1, s_max=16, tail_max=4,
             prefill_buckets=[12], prefill_chunk=5,
         )
+
+
+def test_mla_chunked_admission_matches_monolithic():
+    """Chunked MLA prefill admission (deepseek.prefill_chunk) produces the
+    same tokens as monolithic admission."""
+    from tests.test_deepseek_mla import CFG as MLA_CFG, latent_xkv
+    from xkv_tpu.models import deepseek
+
+    params = deepseek.init_params(MLA_CFG, jax.random.PRNGKey(5), dtype=jnp.float32)
+    xkv = latent_xkv(group_size=2, rank=24)
+    rng = np.random.default_rng(22)
+    prompts = [rng.integers(0, MLA_CFG.vocab_size, size=(n,)).astype(np.int32)
+               for n in (15, 9)]
+    n_new = 4
+
+    def run_engine(chunk):
+        be = BatchedEngine(
+            params, MLA_CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+            prefill_buckets=[16], cache_dtype=jnp.float32,
+            factor_dtype=jnp.float32, prefill_chunk=chunk,
+        )
+        ids = [be.submit(p, n_new) for p in prompts]
+        return ids, {r.request_id: r.generated for r in be.run()}
+
+    ids_m, mono = run_engine(None)
+    ids_c, chunked = run_engine(4)
+    for im, ic in zip(ids_m, ids_c):
+        assert chunked[ic] == mono[im]

@@ -84,3 +84,32 @@ def test_safetensors_loader_roundtrip(tmp_path):
     l1, _ = prefill(params, cfg, prompt)
     l2, _ = prefill(loaded, loaded_cfg, prompt)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["dense", "moe_qlora"])
+def test_deepseek_loader_roundtrip(tmp_path, variant):
+    """Fabricate a local HF DeepSeek-V2 checkpoint (dense, and MoE + shared
+    experts + q-LoRA), load it back through the routed entry point, assert
+    identical prefill logits."""
+    from tests.test_deepseek_mla import CFG, MOE_CFG
+    from xkv_tpu.models.config import ModelConfig
+    from xkv_tpu.models import deepseek
+    from xkv_tpu.models.loader import load_params, save_deepseek_params
+
+    if variant == "dense":
+        MLA_CFG = CFG
+    else:
+        MLA_CFG = ModelConfig(**{**MOE_CFG.__dict__, "q_lora_rank": 24})
+    params = deepseek.init_params(MLA_CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+    mdir = str(tmp_path / "dsv2")
+    save_deepseek_params(params, MLA_CFG, mdir)
+    loaded, loaded_cfg = load_params(mdir, dtype=jnp.float32)
+    assert loaded_cfg.model_type == "deepseek_v2"
+    assert loaded_cfg.kv_lora_rank == MLA_CFG.kv_lora_rank
+    assert loaded_cfg.n_routed_experts == MLA_CFG.n_routed_experts
+    assert loaded_cfg.q_lora_rank == MLA_CFG.q_lora_rank
+
+    prompt = jnp.arange(10, dtype=jnp.int32)[None] % MLA_CFG.vocab_size
+    l1, _ = deepseek.prefill(params, MLA_CFG, prompt)
+    l2, _ = deepseek.prefill(loaded, loaded_cfg, prompt)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4)

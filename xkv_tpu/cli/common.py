@@ -115,10 +115,10 @@ def load_model_and_tokenizer(args, dtype=jnp.bfloat16):
         params = init_params(cfg, jax.random.PRNGKey(args.seed), dtype=dtype)
         return params, cfg, ByteTokenizer()
 
-    from xkv_tpu.models.loader import load_llama_params
+    from xkv_tpu.models.loader import load_params
     from xkv_tpu.utils.tokenizer import load_tokenizer
 
-    params, cfg = load_llama_params(args.model, dtype=dtype)
+    params, cfg = load_params(args.model, dtype=dtype)
     return params, cfg, load_tokenizer(args.model)
 
 

@@ -100,8 +100,6 @@ class BatchedEngine:
         # no head-of-line blocking behind a 32K admission.
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
-            if self._mla:
-                raise ValueError("chunked admission is llama-family only")
             bad = [b for b in self.prefill_buckets if b % prefill_chunk]
             if bad:
                 raise ValueError(
@@ -288,12 +286,19 @@ class BatchedEngine:
         s = int(req.tokens.shape[-1])
         bucket = self._pick_bucket(s)
         L = self.cfg.num_layers
-        hkv, hd = self.cfg.num_kv_heads, self.cfg.head_dim
         dt = self.params["embed"].dtype
+        if self._mla:
+            # K scratch = RoPE-free latent, V scratch = roped k_pe
+            # (deepseek.prefill_chunk).
+            k_shape = (L, 1, 1, bucket, self.cfg.kv_lora_rank)
+            v_shape = (L, 1, 1, bucket, self.cfg.qk_rope_head_dim)
+        else:
+            hkv, hd = self.cfg.num_kv_heads, self.cfg.head_dim
+            k_shape = v_shape = (L, 1, hkv, bucket, hd)
         self._admitting = dict(
             req=req, slot=slot, bucket=bucket, s=s, ci=0,
-            scratch_k=jnp.zeros((L, 1, hkv, bucket, hd), dt),
-            scratch_v=jnp.zeros((L, 1, hkv, bucket, hd), dt),
+            scratch_k=jnp.zeros(k_shape, dt),
+            scratch_v=jnp.zeros(v_shape, dt),
         )
 
     def _advance_admission(self):

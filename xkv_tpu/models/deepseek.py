@@ -248,6 +248,70 @@ def prefill(
     return unembed(params, cfg, h), kvs
 
 
+def prefill_chunk(
+    params: Params,
+    cfg: ModelConfig,
+    chunk_tokens: jax.Array,  # (b, C)
+    scratch_latent: jax.Array,  # (L, b, 1, S, kv_lora_rank) RoPE-free latent
+    scratch_kpe: jax.Array,  # (L, b, 1, S, qk_rope_head_dim) POST-RoPE key
+    pos0: jax.Array,  # () int32 — absolute position of chunk row 0
+    cos_s: jax.Array,  # (S, rope_dim) interleaved-RoPE tables
+    sin_s: jax.Array,
+    last_idx: jax.Array,  # () int32 — chunk row whose logits to return
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One chunk of a chunked (incremental) MLA prefill — counterpart of
+    ``llama.prefill_chunk`` with the same scheduler contract: writes the
+    chunk's latent / roped k_pe into the scratch slots at ``pos0``, attends
+    causally over the valid region [0, pos0+C), returns the logits at
+    ``last_idx``. Each chunk re-up-projects the whole scratch latent
+    (k_nope/v recompute — the static-shape price, ~2x prefill attention
+    FLOPs, as in the llama variant). Numerics match monolithic ``prefill``.
+    """
+    from xkv_tpu.ops.attention import blockwise_causal_attention
+
+    b, C = chunk_tokens.shape
+    rd = cfg.qk_rope_head_dim
+    cos_c = jax.lax.dynamic_slice(cos_s, (pos0, 0), (C, rd))[None]
+    sin_c = jax.lax.dynamic_slice(sin_s, (pos0, 0), (C, rd))[None]
+    scale = softmax_scale(cfg)
+    kv_valid = pos0 + C
+
+    h = params["embed"][chunk_tokens]
+    for li, layer in enumerate(params["layers"]):
+        resid = h
+        x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
+        ap = layer["attn"]
+        q_nope, q_pe = _q_heads(ap, cfg, x)
+        latent, k_pe_pre = _latent_and_kpe(ap, cfg, x)
+        q_pe = apply_rope_interleaved(q_pe, cos_c, sin_c)
+        k_pe = apply_rope_interleaved(k_pe_pre, cos_c, sin_c)
+        scratch_latent = jax.lax.dynamic_update_slice(
+            scratch_latent, latent[None].astype(scratch_latent.dtype),
+            (li, 0, 0, pos0, 0),
+        )
+        scratch_kpe = jax.lax.dynamic_update_slice(
+            scratch_kpe, k_pe[None].astype(scratch_kpe.dtype),
+            (li, 0, 0, pos0, 0),
+        )
+        lat_all = scratch_latent[li][:, 0].astype(latent.dtype)  # (b, S, lora)
+        k_nope, v = _up_project(ap, cfg, lat_all)
+        k_pe_all = scratch_kpe[li].astype(k_pe.dtype)  # (b, 1, S, rd)
+        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k_full = jnp.concatenate(
+            [k_nope,
+             jnp.broadcast_to(k_pe_all, (*k_nope.shape[:-1], rd))], axis=-1
+        )
+        attn = blockwise_causal_attention(
+            q_full, k_full, v, scale, q_offset=pos0, kv_valid=kv_valid
+        ).astype(h.dtype)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, C, -1)
+        h = resid + attn @ ap["o_proj"]
+        h = h + _mlp(layer["mlp"], cfg, rms_norm(h, layer["post_norm"],
+                                                 cfg.rms_norm_eps))
+    h_last = jax.lax.dynamic_slice_in_dim(h, last_idx, 1, axis=1)
+    return unembed(params, cfg, h_last), scratch_latent, scratch_kpe
+
+
 # ----------------------------------------------------------------- decode
 def decode_step(
     params: Params,
