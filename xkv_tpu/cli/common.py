@@ -20,9 +20,14 @@ from xkv_tpu.configs import XKVConfig, generate_consecutive_xkv_config
 
 
 def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument("--model", type=str, required=True,
-                        help="local HF model dir, or tiny:<preset> for synthetic")
+    parser.add_argument("--model", "--model_name_or_path", dest="model",
+                        type=str, required=True,
+                        help="local HF model dir, or tiny:<preset> for "
+                        "synthetic (--model_name_or_path = reference alias)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--flash2", action="store_true",
+                        help="reference alias: use the fused attention "
+                        "kernels (pallas) — the TPU analog of flash-attn 2")
     # xKV flags (reference utils.py:96-137)
     parser.add_argument("--xKV", action="store_true", help="enable KV merging")
     parser.add_argument("--rank_k", type=int, default=256)
@@ -128,7 +133,8 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
     xkv = build_xkv_config(args, cfg.num_layers)
     mode = args.mode if args.xKV else "none"
     attention_impl = args.attention_impl or (
-        "pallas" if jax.default_backend() == "tpu" else "xla"
+        "pallas" if (getattr(args, "flash2", False)
+                     or jax.default_backend() == "tpu") else "xla"
     )
     mesh = None
     if args.mesh_model > 1:

@@ -29,9 +29,14 @@ from xkv_tpu.cli.common import add_common_args, build_engine, load_model_and_tok
 def main(argv=None):
     parser = argparse.ArgumentParser()
     add_common_args(parser)
-    parser.add_argument("--datasets", nargs="+", required=True)
+    parser.add_argument("--datasets", nargs="+", default=None)
+    parser.add_argument("--dataset_name", type=str, default=None,
+                        help="reference alias: comma-separated dataset list")
     parser.add_argument("--datalen", type=int, default=65536)
     parser.add_argument("--num_samples", type=int, default=-1)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="accepted for reference compatibility "
+                        "(evaluation generates per sample)")
     parser.add_argument("--result_dir", type=str, default="results")
     parser.add_argument("--benchmark", type=str, default="ruler")
     parser.add_argument("--data_dir", type=str, default=None)
@@ -39,6 +44,10 @@ def main(argv=None):
     parser.add_argument("--world_size", type=int, default=1)
     parser.add_argument("--gen_len", type=int, default=None)
     args = parser.parse_args(argv)
+    if args.dataset_name:
+        args.datasets = (args.datasets or []) + args.dataset_name.split(",")
+    if not args.datasets:
+        parser.error("pass --datasets ... or --dataset_name a,b,c")
 
     np.random.seed(args.seed)
 
