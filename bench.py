@@ -154,7 +154,8 @@ def main():
     from xkv_tpu.engine import InferenceEngine
 
     kind = "quick" if args.quick else "8b"
-    ctx = args.ctx or (1024 if args.quick else 32768)
+    # Default = the north-star context (BASELINE.md: 64K, 8x compression).
+    ctx = args.ctx or (1024 if args.quick else 65536)
     steps = 8 if args.quick else args.steps
     tail = steps + 8
 
@@ -163,15 +164,16 @@ def main():
     else:
         attention_impl = args.attention_impl
 
-    # Serving defaults (v5e 16 GB, 8-layer 8B geometry @32K): the dense
-    # cache (1.07 GB/seq) + weights tops out at batch 8; the int8 factored
-    # cache (~0.1 GB/seq) runs batch 48 with room to spare.
+    # Serving defaults (v5e 16 GB, 8-layer 8B geometry): the dense cache
+    # (2.1 GB/seq @64K) + weights tops out at batch 4; the int8 factored
+    # cache (~0.2 GB/seq) runs batch 24 with room to spare. Both scale
+    # inversely with context (batch 8 / 48 at 32K).
     if args.quick:
         b_fact = args.batch_factored or 8
         b_dense = args.batch_dense or 8
     else:
-        b_fact = args.batch_factored or 48
-        b_dense = args.batch_dense or 8
+        b_fact = args.batch_factored or max(8, 48 * 32768 // ctx)
+        b_dense = args.batch_dense or max(1, 8 * 32768 // ctx)
     if args.matched:
         b_fact = b_dense = args.batch or 1
 

@@ -69,24 +69,45 @@ def chunk_bounds(
     (Quest, arXiv:2406.10774 — selection criterion only; realized here over
     the factored xKV cache). Padding rows are excluded by +/-BIG sentinels,
     so an all-padding chunk scores -inf-like and is never selected.
-    """
-    from xkv_tpu.compress.svd import heads_to_matrix as h2m
-    from xkv_tpu.compress.svd import matrix_to_heads as m2h
 
+    Memory: a lax.map over chunks rotates/reduces one (b, block, m) block
+    at a time — a full-size rotated fp32 copy of the group matrix at 64K
+    context is ~1 GB per group and OOM'd prefill compression.
+    """
     b, s, m = k_mat.shape
-    if cos is not None:
-        heads = m2h(k_mat, n_heads)  # (b, n_heads, s, hd)
-        k_mat = h2m(apply_rope(heads, cos[None], sin[None]))
-    k_mat = k_mat.astype(jnp.float32)
+    hd = m // n_heads
     nc = -(-s // block)
     pad = nc * block - s
-    lo, hi = k_mat, k_mat
     if pad:
-        lo = jnp.pad(lo, ((0, 0), (0, pad), (0, 0)), constant_values=_BOUND_BIG)
-        hi = jnp.pad(hi, ((0, 0), (0, pad), (0, 0)), constant_values=-_BOUND_BIG)
-    kmin = jnp.min(lo.reshape(b, nc, block, m), axis=2)
-    kmax = jnp.max(hi.reshape(b, nc, block, m), axis=2)
-    return kmin, kmax
+        k_mat = jnp.pad(k_mat, ((0, 0), (0, pad), (0, 0)))
+        if cos is not None:
+            cos = jnp.pad(cos, ((0, pad), (0, 0)))
+            sin = jnp.pad(sin, ((0, pad), (0, 0)))
+    # (nc, b, block, m) so lax.map walks chunks.
+    kc = jnp.moveaxis(k_mat.reshape(b, nc, block, m), 1, 0)
+    valid = (jnp.arange(nc * block) < s).reshape(nc, 1, block, 1)
+
+    if cos is not None:
+        cos_c = cos.reshape(nc, block, hd)
+        sin_c = sin.reshape(nc, block, hd)
+    else:
+        cos_c = sin_c = jnp.zeros((nc, 0, 0), k_mat.dtype)
+
+    def one_chunk(args):
+        blk, cosb, sinb, vld = args  # (b, block, m), (block, hd), ...
+        x = blk.astype(jnp.float32)
+        if cos is not None:
+            heads = jnp.transpose(
+                x.reshape(b, block, n_heads, hd), (0, 2, 1, 3)
+            )
+            heads = apply_rope(heads, cosb[None], sinb[None])
+            x = jnp.transpose(heads, (0, 2, 1, 3)).reshape(b, block, m)
+        lo = jnp.min(jnp.where(vld, x, _BOUND_BIG), axis=1)  # (b, m)
+        hi = jnp.max(jnp.where(vld, x, -_BOUND_BIG), axis=1)
+        return lo, hi
+
+    kmin, kmax = jax.lax.map(one_chunk, (kc, cos_c, sin_c, valid))
+    return jnp.moveaxis(kmin, 0, 1), jnp.moveaxis(kmax, 0, 1)
 
 
 def build_cache(
