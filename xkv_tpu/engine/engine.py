@@ -107,6 +107,7 @@ class InferenceEngine:
             self._generate_impl, static_argnames=("n_steps",), donate_argnums=donate
         )
         self._score_fn = jax.jit(self._score_impl, donate_argnums=donate)
+        self._spec_jit = {}
 
     # ------------------------------------------------------------ internals
     def _rope_tables(self, s: int) -> Tuple[jax.Array, jax.Array]:
@@ -228,6 +229,64 @@ class InferenceEngine:
         cache = cache.replace(tail_k=tail_k, tail_v=tail_v, tail_len=tail_len)
         return jnp.transpose(toks, (1, 0)), cache  # (b, n_steps)
 
+    def _spec_round_impl(self, cache, params, tok, pos, cos_sin, k: int):
+        """One speculative round: draft ``k`` tokens with the cheap sparse
+        path, verify all of them with ONE exact multi-token decode pass,
+        accept the longest matching prefix (greedy => output is bit-exact
+        to plain exact decoding).
+
+        The verify pass re-appends exact K/V over the draft's tail rows
+        (the draft's rows are sparse-flavored: earlier layers' approximate
+        attention leaks into later layers' K/V), so the cache state after a
+        round is identical to having decoded the accepted tokens exactly.
+
+        Returns (exact_tokens (b, k+1), n_accepted (b,), next_tok (b,),
+        cache). Caller advances pos by n_accepted and slices outputs.
+        """
+        t0 = cache.tail_len
+
+        def body(carry, _):
+            tail_k, tail_v, tail_len, token, p = carry
+            step_cache = cache.replace(
+                tail_k=tail_k, tail_v=tail_v, tail_len=tail_len
+            )
+            logits, step_cache = self._model.decode_step(
+                params, self.cfg, self.xkv, step_cache, token[:, None], p,
+                cos_sin, attention_impl=self.attention_impl, mesh=self.mesh,
+                **self._sparse_kw,
+            )
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            carry = (
+                step_cache.tail_k, step_cache.tail_v, step_cache.tail_len,
+                nxt, p + 1,
+            )
+            return carry, nxt
+
+        init = (cache.tail_k, cache.tail_v, cache.tail_len, tok, pos)
+        (tail_k, tail_v, _, _, _), drafts = jax.lax.scan(
+            body, init, None, length=k
+        )
+        drafts = jnp.transpose(drafts, (1, 0))  # (b, k)
+
+        # Verify: exact multi-token pass from the pre-draft tail length —
+        # append_tail overwrites rows [t0, t0+k+1) with exact K/V.
+        vcache = cache.replace(tail_k=tail_k, tail_v=tail_v, tail_len=t0)
+        inputs = jnp.concatenate([tok[:, None], drafts], axis=1)  # (b, k+1)
+        logits, vcache = self._model.decode_step(
+            params, self.cfg, self.xkv, vcache, inputs, pos, cos_sin,
+            attention_impl=self.attention_impl, mesh=self.mesh,
+        )
+        exact = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (b, k+1)
+        matches = drafts == exact[:, :k]
+        n_acc = jnp.sum(jnp.cumprod(matches.astype(jnp.int32), axis=1), axis=1)
+        n_out = n_acc + 1  # accepted drafts + the exact correction/bonus
+        b = tok.shape[0]
+        next_tok = exact[jnp.arange(b), n_acc]
+        # Valid tail rows = the inputs that are real history: tok + accepted
+        # drafts. (b == 1 for the speculative path, so n_out[0] is THE len.)
+        out_cache = vcache.replace(tail_len=t0 + n_out[0])
+        return exact, n_out, next_tok, out_cache
+
     def _score_impl(self, cache, params, tokens, start_pos, cos_sin):
         """Teacher-forced scoring: feed tokens[:, i] one at a time, return
         log-prob of each tokens[:, i+1] (perplexity RNN mode, reference
@@ -328,3 +387,73 @@ class InferenceEngine:
         return self._score_fn(
             cache, self.params, jnp.asarray(tokens, jnp.int32), start_pos, cos_sin
         )
+
+    def generate_speculative(
+        self,
+        tokens,
+        max_new_tokens: int,
+        draft_k: int = 7,
+        eos_token_id: Optional[int] = None,
+    ):
+        """Greedy generation via sparse-draft / exact-verify speculation.
+
+        Output is BIT-IDENTICAL to exact greedy decoding (``sparse_topk``
+        affects only the drafts; every emitted token comes from an exact
+        verify pass), at up to ~(draft_k+1) tokens per exact-attention
+        round when the sparse path agrees with the exact one. Requires the
+        engine to be constructed with ``sparse_topk`` (the draft path),
+        mode='factored', batch 1.
+        """
+        if self.sparse_topk is None:
+            raise ValueError("generate_speculative requires sparse_topk "
+                             "(the draft path)")
+        tokens = jnp.asarray(tokens, jnp.int32)
+        if tokens.shape[0] != 1:
+            raise ValueError("speculative decoding is batch-1 "
+                             "(per-sequence acceptance lengths)")
+        if draft_k + 1 > self.tail_max:
+            raise ValueError(f"draft_k={draft_k} needs tail_max > draft_k")
+        logits, cache = self.prefill(tokens)
+        first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        out = [int(first[0])]
+        tok = first
+        pos = jnp.asarray(tokens.shape[1], jnp.int32)
+        if draft_k not in self._spec_jit:
+            self._spec_jit[draft_k] = jax.jit(
+                lambda c, p, t, po, cs: self._spec_round_impl(
+                    c, p, t, po, cs, draft_k
+                )
+            )
+        spec_fn = self._spec_jit[draft_k]
+        while len(out) < max_new_tokens:
+            if eos_token_id is not None and out[-1] == eos_token_id:
+                break
+            capacity = self.tail_max - int(jax.device_get(cache.tail_len))
+            if capacity < draft_k + 1:
+                # Top the tail up to exactly full with plain exact steps
+                # (they emit tokens too), then fold it into the factors.
+                if capacity > 0:
+                    cos_sin = self._prefill_cos_sin(cache.prefill_len)
+                    toks, cache = self._generate_fn(
+                        cache, self.params, tok, pos, cos_sin,
+                        n_steps=capacity,
+                    )
+                    out.extend(int(x) for x in jax.device_get(toks[0]))
+                    tok = toks[:, -1]
+                    pos = pos + capacity
+                cache = self.refactorize(cache)
+                continue
+            exact, n_out, tok, cache = spec_fn(
+                cache, self.params, tok, pos, self._prefill_cos_sin(
+                    cache.prefill_len
+                )
+            )
+            n = int(jax.device_get(n_out[0]))
+            out.extend(int(x) for x in jax.device_get(exact[0])[:n])
+            pos = pos + n
+        out = out[:max_new_tokens]
+        if eos_token_id is not None and eos_token_id in out:
+            out = out[: out.index(eos_token_id) + 1]
+        import numpy as np
+
+        return np.asarray(out, np.int32)[None, :]

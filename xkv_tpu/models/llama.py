@@ -474,11 +474,16 @@ def decode_step(
                 v_prefill = cache.dense_v[li]
             parts.append(dense_decode_attention_xla(q, k_prefill, v_prefill, scale))
 
-        # --- decode tail (includes this step's token(s))
-        valid = (cache.tail_len + ql) * jnp.ones((b,), jnp.int32)
+        # --- decode tail (includes this step's token(s)); causal within the
+        # window: query i sees tail rows < tail_len + i + 1 (for ql == 1
+        # this is the old tail_len + ql).
+        valid = jnp.broadcast_to(
+            cache.tail_len + 1 + jnp.arange(ql, dtype=jnp.int32)[None, :],
+            (b, ql),
+        )
         parts.append(
             dense_decode_attention_xla(
-                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid[:, None]
+                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid
             )
         )
 

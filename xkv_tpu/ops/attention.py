@@ -331,11 +331,22 @@ def dense_decode_attention_xla(
     valid_len: Optional[jax.Array] = None,
 ) -> PartialAttention:
     """Decode attention over a dense segment (prefill dense layers or the
-    decode tail). ``valid_len`` masks a preallocated ring/tail buffer."""
+    decode tail). ``valid_len`` masks a preallocated ring/tail buffer:
+    (b,) or (b, 1) for one shared length, (b, ql) for per-query lengths
+    (multi-token verify steps — query i sees tail rows < valid_len[:, i])."""
     mask = None
     if valid_len is not None:
         s = k.shape[2]
-        mask = (jnp.arange(s)[None, :] < valid_len)[:, None, None, :]  # (b,1,1,s)
+        ql = q.shape[2]
+        if valid_len.ndim == 1:
+            valid_len = valid_len[:, None]
+        if valid_len.shape[1] == ql:
+            mask = (
+                jnp.arange(s)[None, None, None, :]
+                < valid_len[:, None, :, None]
+            )  # (b, 1, ql, s)
+        else:
+            mask = (jnp.arange(s)[None, :] < valid_len)[:, None, None, :]
     return attention_partial(q, k, v, scale, mask)
 
 
