@@ -200,3 +200,39 @@ def test_sparse_lowrank_matches_sparse_xla(n_sel, lengths):
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(ref.lse), rtol=1e-3, atol=1e-3
     )
+
+
+def test_lowrank_multiquery_matches_xla_reference():
+    """ql > 1 (the speculative verify pass): every (position, head) row of
+    the kernel must equal the XLA oracle run per position."""
+    from xkv_tpu.ops.rope import apply_rope
+
+    b, hq, hkv, hd, ql = 2, 4, 2, 32, 3
+    rk, rv = 24, 28
+    s_p = 64
+    q_pre = rand(40, (b, hq, ql, hd))
+    k_us = rand(41, (b, s_p, rk))
+    k_vt = rand(42, (b, rk, hkv * hd)) * 0.3
+    v_us = rand(43, (b, s_p, rv))
+    v_vt = rand(44, (b, rv, hkv * hd)) * 0.3
+    cos, sin = rope_cos_sin(jnp.arange(s_p), hd, theta=10000.0)
+    scale = 1.0 / math.sqrt(hd)
+    positions = s_p + jnp.arange(ql)
+    cos_t, sin_t = rope_cos_sin(positions, hd, theta=10000.0)  # (ql, hd)
+    q = apply_rope(q_pre, cos_t[None], sin_t[None])  # rotated per position
+
+    ref = factored_decode_attention_xla(
+        q, k_us, k_vt, v_us, v_vt, cos, sin, scale, num_kv_heads=hkv
+    )
+    out, lse = lowrank_decode_attention(
+        q_pre, k_us, k_vt, v_us, v_vt, cos, sin,
+        jnp.broadcast_to(cos_t[None], (b, ql, hd)),
+        jnp.broadcast_to(sin_t[None], (b, ql, hd)),
+        scale=scale, num_kv_heads=hkv, block_s=32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.out), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref.lse), rtol=1e-3, atol=1e-3
+    )

@@ -112,3 +112,20 @@ def test_speculative_requires_sparse(params):
     eng = make_engine(params)
     with pytest.raises(ValueError, match="sparse_topk"):
         eng.generate_speculative(np.zeros((1, 8), np.int32), 4)
+
+
+def test_speculative_pallas_verify_matches_exact(params):
+    """attention_impl='pallas' routes the multi-token verify through the
+    ql>1 fused kernel (interpret mode on CPU); output must still match the
+    exact XLA engine bit-for-bit."""
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, CFG.vocab_size, size=(1, 32)).astype(np.int32)
+    eng_exact = make_engine(params)  # xla
+    eng_spec = make_engine(
+        params, sparse_topk=3, sparse_block=8, attention_impl="pallas"
+    )
+    out_e = np.asarray(eng_exact.generate(prompt, max_new_tokens=10))
+    out_s = np.asarray(eng_spec.generate_speculative(
+        prompt, max_new_tokens=10, draft_k=4
+    ))
+    np.testing.assert_array_equal(out_s, out_e)

@@ -320,12 +320,9 @@ def decode_step(
                 cos_p,
                 sin_p,
             )
-            # Pallas kernel takes the PRE-RoPE query + its position's trig
-            # row (relative-angle rotation happens in-kernel).
-            kernel_args = factored_args[1:] + (
-                jnp.broadcast_to(cos[:, -1, :], (b, cfg.head_dim)),
-                jnp.broadcast_to(sin[:, -1, :], (b, cfg.head_dim)),
-            )
+            # Pallas kernel takes PRE-RoPE queries + their positions' trig
+            # rows (b, ql, hd); rotation folds into the query embeds.
+            kernel_args = factored_args[1:] + (cos, sin)
             # Mosaic requires lane-aligned head_dim for the in-kernel
             # (block_s, hkv*hd) -> (block_s, hkv, hd) reshape; interpret
             # mode (non-TPU backends) has no such constraint.
@@ -393,7 +390,7 @@ def decode_step(
                             v_rank_scale=gf.v_scale,
                         )
                     )
-            elif attention_impl == "pallas" and ql == 1 and pallas_ok and tp_ok:
+            elif attention_impl == "pallas" and pallas_ok and tp_ok:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention_tp,
                 )
@@ -408,7 +405,7 @@ def decode_step(
                     num_kv_heads=cfg.num_kv_heads,
                 )
                 parts.append(PartialAttention(out=out_f, lse=lse_f))
-            elif attention_impl == "pallas" and ql == 1 and pallas_ok and mesh is None:
+            elif attention_impl == "pallas" and pallas_ok and mesh is None:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention,
                 )

@@ -93,7 +93,6 @@ def _lowrank_sparse_kernel(
     v_scale_ref,
     cos_ref,  # (block_s, hd/2) — rows of chunk ids_ref[bi, si]
     sin_ref,
-    trig_t_ref,
     o_ref,
     lse_ref,
     m_scratch,
@@ -115,7 +114,7 @@ def _lowrank_sparse_kernel(
     si = pl.program_id(1)
     _lowrank_block_body(
         qa_ref, qb_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
-        v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref, trig_t_ref,
+        v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref,
         o_ref, lse_ref, m_scratch, l_scratch, t_scratch,
         bi=bi, si=si, num_s=pl.num_programs(1),
         col_offset=ids_ref[bi, si] * block_s,
@@ -125,9 +124,11 @@ def _lowrank_sparse_kernel(
 
 
 def _lowrank_kernel(
-    qa_ref,  # (1, hq, hkv*hd)  q block-diag embed, scales folded (see wrapper)
-    qb_ref,  # (1, hq, hkv*hd)  [q2, -q1] embed, scales folded
-    head_mask_ref,  # (hq, hkv*hd)  1.0 on own head's columns, else 0.0
+    qa_ref,  # (1, R, hkv*hd)  query embeds, R = ql*hq rows: block-diagonal
+             # q with the row's query-position trig AND scales folded
+             # (see wrapper) — qa carries q*c_t - q~*s_t
+    qb_ref,  # (1, R, hkv*hd)  q*s_t + q~*c_t (the sin-field partner)
+    head_mask_ref,  # (R, hkv*hd)  1.0 on the row's own head's columns
     len_ref,  # (b, 1) int32 in SMEM — per-sequence valid prefill lengths
               # (full array: Mosaic rejects (1,1) blocks of a (b,1) array)
     k_us_ref,  # (1, block_s, rk)
@@ -138,12 +139,11 @@ def _lowrank_kernel(
     cos_ref,  # (block_s, hd/2) — half position table (hd halves are equal);
               # bf16 in production dtypes, fp32 with fp32 factors
     sin_ref,  # (block_s, hd/2)
-    trig_t_ref,  # (1, 2, hd/2) fp32 — cos/sin at this sequence's query pos
-    o_ref,  # (1, hq, hd)
-    lse_ref,  # (1, 8, hq) fp32  (sublane-padded)
-    m_scratch,  # (hq, 128) fp32
-    l_scratch,  # (hq, 128) fp32
-    t_scratch,  # (hq, rv) fp32 — rank-space value accumulator
+    o_ref,  # (1, R, hd)
+    lse_ref,  # (1, 8, R) fp32  (sublane-padded)
+    m_scratch,  # (R, 128) fp32
+    l_scratch,  # (R, 128) fp32
+    t_scratch,  # (R, rv) fp32 — rank-space value accumulator
     *,
     block_s: int,
     hkv: int,
@@ -155,7 +155,7 @@ def _lowrank_kernel(
     si = pl.program_id(1)
     _lowrank_block_body(
         qa_ref, qb_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
-        v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref, trig_t_ref,
+        v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref,
         o_ref, lse_ref, m_scratch, l_scratch, t_scratch,
         bi=bi, si=si, num_s=pl.num_programs(1),
         col_offset=si * block_s,
@@ -176,7 +176,6 @@ def _lowrank_block_body(
     v_scale_ref,
     cos_ref,
     sin_ref,
-    trig_t_ref,
     o_ref,
     lse_ref,
     m_scratch,
@@ -214,19 +213,20 @@ def _lowrank_block_body(
             k_us_ref[0], k_vt_ref[0], preferred_element_type=jnp.float32
         ).astype(compute_dtype)  # (block_s, hkv*hd) pre-RoPE
 
-    # ---- relative trig fields (angle-subtraction identity, fp32) ----
-    cos_p = cos_ref[...].astype(jnp.float32)  # (block_s, hd/2)
-    sin_p = sin_ref[...].astype(jnp.float32)
-    cos_t = trig_t_ref[0, 0:1, :].astype(jnp.float32)  # (1, hd/2)
-    sin_t = trig_t_ref[0, 1:2, :].astype(jnp.float32)
-    cos_rel = (cos_p * cos_t + sin_p * sin_t).astype(compute_dtype)
-    sin_rel = (sin_p * cos_t - cos_p * sin_t).astype(compute_dtype)
+    # ---- PURE position trig fields. The query-position trig is folded
+    # into the qa/qb embeds OUTSIDE the kernel (angle-subtraction identity
+    # rearranged: score = (q*c_t - q~*s_t).(K*cos_p) + (q*s_t + q~*c_t)
+    # .(K*sin_p)), so the fields are row-count independent — ONE pair of
+    # multiplies serves every query row (multi-token verify passes run
+    # ql*hq rows through the same two GEMMs).
     m = hkv * hd
-    reps = m // cos_rel.shape[1]
-    cos_w = _repeat_cols(cos_rel, reps, interpret)  # (block_s, hkv*hd)
-    sin_w = _repeat_cols(sin_rel, reps, interpret)
+    reps = m // cos_ref.shape[1]
+    cos_w = _repeat_cols(
+        cos_ref[...].astype(compute_dtype), reps, interpret
+    )  # (block_s, hkv*hd)
+    sin_w = _repeat_cols(sin_ref[...].astype(compute_dtype), reps, interpret)
 
-    # ---- scores: two packed 2D multiplies + two GEMMs over all q heads ----
+    # ---- scores: two packed 2D multiplies + two GEMMs over all rows ----
     a = k_pre * cos_w
     b2 = k_pre * sin_w
     s = jax.lax.dot_general(
@@ -290,19 +290,63 @@ def _lowrank_block_body(
         lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
+def _query_embeds(
+    q_pre: jax.Array,  # (b, hq, ql, hd) PRE-RoPE queries
+    cos_t: jax.Array,  # (b, hd) [ql==1] or (b, ql, hd) query-position trig
+    sin_t: jax.Array,
+    num_kv_heads: int,
+    scale,
+    k_scale_slice: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Build the kernel's two query embeds with the row's position trig,
+    the attention scale, and the int8 per-column dequant scale folded in.
+
+    Row layout: R = ql*hq rows ordered (ql, hq) — row qi*hq + h. Each row's
+    RoPE rotation is folded via the rearranged relative-angle identity
+        score = (q*c_t - q~*s_t).(K*cos_p) + (q*s_t + q~*c_t).(K*sin_p)
+    (q~ = [q2, -q1]) so the in-kernel trig fields depend only on the KEY
+    position — one field pair serves any number of query rows.
+
+    Returns (qa_emb (b, R, m), qb_emb (b, R, m), head_mask (R, m)).
+    """
+    b, hq, ql, hd = q_pre.shape
+    hkv = num_kv_heads
+    half = hd // 2
+    if cos_t.ndim == 2:
+        cos_t = cos_t[:, None, :]
+        sin_t = sin_t[:, None, :]
+    q3 = jnp.transpose(q_pre, (0, 2, 1, 3)).astype(jnp.float32)  # (b,ql,hq,hd)
+    qt3 = jnp.concatenate([q3[..., half:], -q3[..., :half]], axis=-1)
+    c_t = cos_t[:, :, None, :].astype(jnp.float32)  # (b, ql, 1, hd)
+    s_t = sin_t[:, :, None, :].astype(jnp.float32)
+    qa = (q3 * c_t - qt3 * s_t).reshape(b, ql * hq, hd)
+    qb = (q3 * s_t + qt3 * c_t).reshape(b, ql * hq, hd)
+
+    head_ids = jnp.tile(jnp.repeat(jnp.arange(hkv), hq // hkv), ql)  # (R,)
+    col_head = jnp.repeat(jnp.arange(hkv), hd)  # (m,)
+    head_mask = (head_ids[:, None] == col_head[None, :]).astype(q_pre.dtype)
+    fold = scale
+    if k_scale_slice is not None:
+        fold = fold * k_scale_slice.astype(jnp.float32)  # (b, 1, m)
+    emb_dtype = q_pre.dtype if q_pre.dtype != jnp.float32 else jnp.float32
+    qa_emb = (jnp.tile(qa, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
+    qb_emb = (jnp.tile(qb, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
+    return qa_emb, qb_emb, head_mask
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "num_kv_heads", "block_s", "interpret")
 )
 def lowrank_decode_attention(
-    q_pre: jax.Array,  # (b, hq, 1, hd) PRE-RoPE decode queries
+    q_pre: jax.Array,  # (b, hq, ql, hd) PRE-RoPE decode queries
     k_us: jax.Array,  # (b, s_p, rk)
     k_vt_slice: jax.Array,  # (b, rk, hkv*hd) — this layer's V^T columns
     v_us: jax.Array,  # (b, s_p, rv)
     v_vt_slice: jax.Array,  # (b, rv, hkv*hd)
     cos_p: jax.Array,  # (s_p, hd) prefill-position tables
     sin_p: jax.Array,  # (s_p, hd)
-    cos_t: jax.Array,  # (b, hd) cos at each sequence's query position
-    sin_t: jax.Array,  # (b, hd)
+    cos_t: jax.Array,  # (b, hd) or (b, ql, hd): cos at the query position(s)
+    sin_t: jax.Array,
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill length per seq
     k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 K scale
     v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv) int8 V scale
@@ -314,22 +358,26 @@ def lowrank_decode_attention(
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused factored-cache decode attention for one layer.
 
-    Takes the PRE-RoPE query plus its position's cos/sin row; rotation
-    happens in relative-angle form inside the kernel (module docstring).
+    Takes PRE-RoPE queries plus their positions' cos/sin rows; rotation is
+    folded into the query embeds (module docstring). ``ql > 1`` runs every
+    (position, head) pair as an independent kernel row — the multi-token
+    verify pass of speculative decoding shares one reconstruction across
+    ql*hq score rows (and fills MXU row tiles the single-token path can't).
+    Query rows attend to every valid prefill position (prefill < all new
+    positions); causal masking among the new tokens is the tail's job.
 
-    Returns (out (b, hq, 1, hd), lse (b, hq, 1)) — a PartialAttention pair
-    mergeable with the dense tail segment.
+    Returns (out (b, hq, ql, hd), lse (b, hq, ql)) — a PartialAttention
+    pair mergeable with the dense tail segment.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, hq, ql, hd = q_pre.shape
-    assert ql == 1, "decode kernel is single-token (tail handles the rest)"
     hkv = num_kv_heads
-    q_per_kv = hq // hkv
     s_p = k_us.shape[1]
     rv = v_us.shape[2]
     half = hd // 2
     m = hkv * hd
+    R = ql * hq
 
     block_s = min(block_s, s_p)
     # Half position tables (the hd halves are equal by construction); bf16
@@ -346,31 +394,16 @@ def lowrank_decode_attention(
         sin_p = jnp.pad(sin_p, ((0, s_pad - s_p), (0, 0)))
     grid_s = s_pad // block_s
 
-    # Per-sequence query-position trig rows (half width, fp32).
-    trig_t = jnp.stack(
-        [cos_t[:, :half], sin_t[:, :half]], axis=1
-    ).astype(jnp.float32)  # (b, 2, hd/2)
-
-    # Block-diagonal embedding of the two query forms: row (g, j) ->
-    # columns [g*hd, (g+1)*hd). qa carries q, qb carries [q2, -q1] (the
-    # sin-field partner); both get the attention scale and (int8) per-column
-    # dequant scale folded in, in fp32 before the bf16 cast.
-    q3 = q_pre[:, :, 0, :].astype(jnp.float32)  # (b, hq, hd)
-    qb3 = jnp.concatenate([q3[..., half:], -q3[..., :half]], axis=-1)
-    head_ids = jnp.repeat(jnp.arange(hkv), q_per_kv)  # (hq,)
-    col_head = jnp.repeat(jnp.arange(hkv), hd)  # (hkv*hd,)
-    head_mask = (head_ids[:, None] == col_head[None, :]).astype(q_pre.dtype)
-    fold = scale
     quantized = k_us.dtype == jnp.int8
     if quantized:
         assert k_scale_slice is not None and v_rank_scale is not None
-        fold = fold * k_scale_slice.astype(jnp.float32)  # (b, 1, m)
         v_rank_scale = v_rank_scale.astype(jnp.float32)
     else:
+        k_scale_slice = None
         v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
-    emb_dtype = q_pre.dtype if q_pre.dtype != jnp.float32 else jnp.float32
-    qa_emb = (jnp.tile(q3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
-    qb_emb = (jnp.tile(qb3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
+    qa_emb, qb_emb, head_mask = _query_embeds(
+        q_pre, cos_t, sin_t, hkv, scale, k_scale_slice
+    )
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
@@ -388,14 +421,14 @@ def lowrank_decode_attention(
     out, lse = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, hq, hd), q_pre.dtype),
-            jax.ShapeDtypeStruct((b, 8, hq), jnp.float32),
+            jax.ShapeDtypeStruct((b, R, hd), q_pre.dtype),
+            jax.ShapeDtypeStruct((b, 8, R), jnp.float32),
         ),
         grid=(b, grid_s),
         in_specs=[
-            pl.BlockSpec((1, hq, m), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((1, hq, m), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((hq, m), lambda bi, si: (0, 0)),
+            pl.BlockSpec((1, R, m), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, R, m), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((R, m), lambda bi, si: (0, 0)),
             pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_s, k_us.shape[2]), lambda bi, si: (bi, si, 0)),
             pl.BlockSpec((1, k_us.shape[2], m), lambda bi, si: (bi, 0, 0)),
@@ -404,16 +437,15 @@ def lowrank_decode_attention(
             pl.BlockSpec((1, 1, rv), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((block_s, half), lambda bi, si: (si, 0)),
             pl.BlockSpec((block_s, half), lambda bi, si: (si, 0)),
-            pl.BlockSpec((1, 2, half), lambda bi, si: (bi, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, hq, hd), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((1, 8, hq), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, R, hd), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, R), lambda bi, si: (bi, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.VMEM((hq, rv), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, rv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -423,9 +455,12 @@ def lowrank_decode_attention(
         ),
         interpret=interpret,
     )(qa_emb, qb_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice,
-      v_rank_scale, cos_p, sin_p, trig_t)
+      v_rank_scale, cos_p, sin_p)
 
-    return out[:, :, None, :], lse[:, 0, :, None]
+    # rows (ql, hq) -> (b, hq, ql, hd) / (b, hq, ql)
+    out = jnp.transpose(out.reshape(b, ql, hq, hd), (0, 2, 1, 3))
+    lse = jnp.transpose(lse[:, 0, :].reshape(b, ql, hq), (0, 2, 1))
+    return out, lse
 
 
 @functools.partial(
@@ -464,9 +499,8 @@ def sparse_lowrank_decode_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, hq, ql, hd = q_pre.shape
-    assert ql == 1
+    assert ql == 1, "sparse kernel is single-token (drafts/decode)"
     hkv = num_kv_heads
-    q_per_kv = hq // hkv
     s_p = k_us.shape[1]
     rv = v_us.shape[2]
     half = hd // 2
@@ -486,26 +520,16 @@ def sparse_lowrank_decode_attention(
         cos_h = jnp.pad(cos_h, ((0, s_pad - s_p), (0, 0)))
         sin_h = jnp.pad(sin_h, ((0, s_pad - s_p), (0, 0)))
 
-    trig_t = jnp.stack(
-        [cos_t[:, :half], sin_t[:, :half]], axis=1
-    ).astype(jnp.float32)
-
-    q3 = q_pre[:, :, 0, :].astype(jnp.float32)
-    qb3 = jnp.concatenate([q3[..., half:], -q3[..., :half]], axis=-1)
-    head_ids = jnp.repeat(jnp.arange(hkv), q_per_kv)
-    col_head = jnp.repeat(jnp.arange(hkv), hd)
-    head_mask = (head_ids[:, None] == col_head[None, :]).astype(q_pre.dtype)
-    fold = scale
     quantized = k_us.dtype == jnp.int8
     if quantized:
         assert k_scale_slice is not None and v_rank_scale is not None
-        fold = fold * k_scale_slice.astype(jnp.float32)
         v_rank_scale = v_rank_scale.astype(jnp.float32)
     else:
+        k_scale_slice = None
         v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
-    emb_dtype = q_pre.dtype if q_pre.dtype != jnp.float32 else jnp.float32
-    qa_emb = (jnp.tile(q3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
-    qb_emb = (jnp.tile(qb3, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
+    qa_emb, qb_emb, head_mask = _query_embeds(
+        q_pre, cos_t, sin_t, hkv, scale, k_scale_slice
+    )
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
@@ -542,7 +566,6 @@ def sparse_lowrank_decode_attention(
             pl.BlockSpec((1, 1, rv), lambda bi, si, ids: (bi, 0, 0)),
             pl.BlockSpec((block, half), lambda bi, si, ids: (ids[bi, si], 0)),
             pl.BlockSpec((block, half), lambda bi, si, ids: (ids[bi, si], 0)),
-            pl.BlockSpec((1, 2, half), lambda bi, si, ids: (bi, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, hq, hd), lambda bi, si, ids: (bi, 0, 0)),
@@ -568,7 +591,7 @@ def sparse_lowrank_decode_attention(
         ),
         interpret=interpret,
     )(chunk_ids.astype(jnp.int32), qa_emb, qb_emb, head_mask, lengths,
-      k_us, k_vt_slice, v_us, v_vt_slice, v_rank_scale, cos_h, sin_h, trig_t)
+      k_us, k_vt_slice, v_us, v_vt_slice, v_rank_scale, cos_h, sin_h)
 
     return out[:, :, None, :], lse[:, 0, :, None]
 
