@@ -275,3 +275,54 @@ def test_sparse_tp_subset_runs(params):
     )
     out = np.asarray(eng.generate(prompt, max_new_tokens=4))
     assert out.shape == (2, 4) and np.isfinite(out).all()
+
+
+# ---------------------------------------------------- batched serving + mesh
+@pytest.mark.parametrize(
+    "attention_impl,factor_dtype",
+    [("xla", jnp.float32), ("pallas", jnp.float32), ("xla", "int8")],
+)
+def test_batched_engine_mesh_matches_single(params, attention_impl,
+                                            factor_dtype):
+    """Continuous batching over a DP(slots) x TP(heads/rank) mesh produces
+    the same tokens as the single-device batched engine — the north star's
+    multi-chip serving shape (sharded factors + continuous batching)."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(11)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=(n,)).astype(np.int32)
+        for n in (16, 11, 14, 9, 16)
+    ]
+    n_new = 4
+    common = dict(
+        xkv=xkv, num_slots=4, s_max=16, tail_max=8, prefill_buckets=[16],
+        cache_dtype=jnp.float32, factor_dtype=factor_dtype,
+        attention_impl=attention_impl,
+    )
+    be_ref = BatchedEngine(params, CFG, **common)
+    ref_ids = [be_ref.submit(p, n_new) for p in prompts]
+    ref = {r.request_id: r.generated for r in be_ref.run()}
+
+    be_mesh = BatchedEngine(
+        params, CFG, mesh=make_mesh(data=4, model=2), **common
+    )
+    ids = [be_mesh.submit(p, n_new) for p in prompts]
+    got = {r.request_id: r.generated for r in be_mesh.run()}
+    assert sorted(got) == sorted(ids)
+    for rid_m, rid_r in zip(ids, ref_ids):
+        assert got[rid_m] == ref[rid_r]
+
+
+def test_batched_engine_mesh_rejects_indivisible_slots(params):
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    with pytest.raises(ValueError, match="multiple of the"):
+        BatchedEngine(
+            params, CFG, xkv=None, num_slots=3, s_max=16, tail_max=8,
+            mesh=make_mesh(data=4, model=2),
+        )

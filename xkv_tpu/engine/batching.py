@@ -68,6 +68,7 @@ class BatchedEngine:
         prefill_chunk: Optional[int] = None,
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
+        mesh=None,
     ):
         if cfg.model_type == "deepseek_v2":
             from xkv_tpu.models import deepseek as model_module
@@ -84,6 +85,21 @@ class BatchedEngine:
         self._model = model_module
         self._mla = cfg.model_type == "deepseek_v2"
         self._quantized = factor_dtype in ("int8", jnp.int8)
+        # Multi-chip serving (the north-star v5e-8 deployment): slots are
+        # DP-sharded over the mesh's data axis; weights, dense cache heads
+        # and factor ranks are TP-sharded over the model axis
+        # (parallel/sharding.py). The pallas decode path routes through the
+        # shard_map TP kernels; everything else is GSPMD-propagated.
+        self.mesh = mesh
+        if mesh is not None:
+            if "data" in mesh.shape and num_slots % mesh.shape["data"]:
+                raise ValueError(
+                    f"num_slots={num_slots} must be a multiple of the "
+                    f"mesh data axis ({mesh.shape['data']})"
+                )
+            from xkv_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.xkv = xkv
@@ -119,6 +135,20 @@ class BatchedEngine:
         )
 
         self.batch_cache = self._empty_batch_cache()
+        self._cache_shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from xkv_tpu.parallel.sharding import cache_pspecs
+
+            self._cache_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s),
+                cache_pspecs(self.batch_cache),
+                is_leaf=lambda x: isinstance(x, PartitionSpec),
+            )
+            self.batch_cache = jax.device_put(
+                self.batch_cache, self._cache_shardings
+            )
         self.prefill_len = np.zeros(num_slots, np.int32)
         self.tail_len = np.zeros(num_slots, np.int32)
         self.pos = np.zeros(num_slots, np.int32)
@@ -263,13 +293,23 @@ class BatchedEngine:
         padded[0, :s] = tokens
         if bucket not in self._prefill_jit:
 
+            prefill_kw = {"attention_impl": self.attention_impl}
+            if self.mesh is not None:
+                # pallas flash prefill needs the explicit shard_map TP path
+                # (flash_attention_tp); MLA prefill under a mesh stays XLA.
+                if self._mla:
+                    prefill_kw["attention_impl"] = "xla"
+                else:
+                    prefill_kw["mesh"] = self.mesh
+
             def fn(params, toks, true_len):
                 # Unembed only the last valid position — the full
                 # (1, bucket, vocab) fp32 logits would dominate admission
                 # memory at long buckets (4.2 GB at 32K x 32000).
                 logits, kvs = self._model.prefill(
-                    params, self.cfg, toks, attention_impl=self.attention_impl,
+                    params, self.cfg, toks,
                     logits_position=true_len - 1,
+                    **prefill_kw,
                 )
                 cache1 = self._compress_kvs(kvs, toks.shape[1], true_len)
                 return logits[0, 0], cache1
@@ -415,9 +455,15 @@ class BatchedEngine:
         logits, batch_cache = self._model.decode_step_batched(
             params, self.cfg, self.xkv, batch_cache,
             token, pos, prefill_len, tail_len, self._cos_sin,
-            attention_impl=self.attention_impl,
+            attention_impl=self.attention_impl, mesh=self.mesh,
             **self._sparse_kw,
         )
+        if self._cache_shardings is not None:
+            # Pin the cache layout so per-step GSPMD choices can't drift it
+            # away from the slot-DP / head-TP placement.
+            batch_cache = jax.lax.with_sharding_constraint(
+                batch_cache, self._cache_shardings
+            )
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return next_tok, batch_cache
 

@@ -505,6 +505,7 @@ def decode_step_batched(
     tail_len: jax.Array,     # (B,) tail fill per slot
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
     attention_impl: str = "xla",
+    mesh=None,
     sparse_select: Optional[int] = None,
     sparse_block: int = 512,
 ) -> Tuple[jax.Array, XKVCache]:
@@ -512,7 +513,9 @@ def decode_step_batched(
 
     Unlike ``decode_step``, every slot has its own position, prefill length
     (factors are padded to a common s_max), and tail fill level. Inactive
-    slots simply produce garbage logits the scheduler ignores.
+    slots simply produce garbage logits the scheduler ignores. With a mesh,
+    the pallas path goes through the shard_map TP kernels (kv heads on the
+    model axis); everything else is GSPMD-propagated.
     """
     b = tokens.shape[0]
     scale = 1.0 / math.sqrt(cfg.head_dim)
@@ -561,48 +564,89 @@ def decode_step_batched(
                 else vt_layer_slice(gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim)
             )
             pallas_ok_b = cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu"
+            tp_ok_b = (
+                mesh is not None
+                and "model" in mesh.shape
+                and cfg.num_kv_heads % mesh.shape["model"] == 0
+            )
             sparse_ok_b = sparse_select is not None and gf.k_cmin is not None
             if sparse_ok_b:
                 nc = gf.k_cmin.shape[1]
                 blk = sparse_block
                 assert nc == -(-gf.k_us.shape[1] // blk), (
                     "k_cmin chunk count does not match sparse_block")
-                ids = select_topk_chunks(
-                    q,
-                    vt_layer_slice(gf.k_cmin, gpos, cfg.num_kv_heads,
-                                   cfg.head_dim),
-                    vt_layer_slice(gf.k_cmax, gpos, cfg.num_kv_heads,
-                                   cfg.head_dim),
-                    n_select=min(sparse_select, nc),
-                    num_kv_heads=cfg.num_kv_heads,
-                    valid_len=prefill_len,
-                    block=blk,
-                )
-                if attention_impl == "pallas" and pallas_ok_b:
+                cmin_sl = vt_layer_slice(gf.k_cmin, gpos, cfg.num_kv_heads,
+                                         cfg.head_dim)
+                cmax_sl = vt_layer_slice(gf.k_cmax, gpos, cfg.num_kv_heads,
+                                         cfg.head_dim)
+                n_sel = min(sparse_select, nc)
+                if attention_impl == "pallas" and pallas_ok_b and tp_ok_b:
                     from xkv_tpu.ops.pallas.lowrank_attention import (
-                        sparse_lowrank_decode_attention,
+                        sparse_lowrank_decode_attention_tp,
                     )
 
-                    out_f, lse_f = sparse_lowrank_decode_attention(
-                        q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :], ids,
+                    out_f, lse_f = sparse_lowrank_decode_attention_tp(
+                        mesh, q_pre, q, *fargs[1:], cos[:, 0, :],
+                        sin[:, 0, :], cmin_sl, cmax_sl,
                         lengths=prefill_len,
                         k_scale_slice=k_scale_slice,
                         v_rank_scale=gf.v_scale,
-                        scale=scale, num_kv_heads=cfg.num_kv_heads,
-                        block=blk,
+                        n_select=n_sel, scale=scale,
+                        num_kv_heads=cfg.num_kv_heads, block=blk,
                     )
                     parts.append(PartialAttention(out=out_f, lse=lse_f))
                 else:
-                    parts.append(
-                        sparse_factored_decode_attention_xla(
-                            *fargs, ids, scale, cfg.num_kv_heads,
-                            block=blk,
+                    ids = select_topk_chunks(
+                        q, cmin_sl, cmax_sl,
+                        n_select=n_sel,
+                        num_kv_heads=cfg.num_kv_heads,
+                        valid_len=prefill_len,
+                        block=blk,
+                    )
+                    if (
+                        attention_impl == "pallas" and pallas_ok_b
+                        and mesh is None
+                    ):
+                        from xkv_tpu.ops.pallas.lowrank_attention import (
+                            sparse_lowrank_decode_attention,
+                        )
+
+                        out_f, lse_f = sparse_lowrank_decode_attention(
+                            q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :],
+                            ids,
+                            lengths=prefill_len,
                             k_scale_slice=k_scale_slice,
                             v_rank_scale=gf.v_scale,
-                            valid_len=prefill_len,
+                            scale=scale, num_kv_heads=cfg.num_kv_heads,
+                            block=blk,
                         )
-                    )
-            elif attention_impl == "pallas" and pallas_ok_b:
+                        parts.append(
+                            PartialAttention(out=out_f, lse=lse_f)
+                        )
+                    else:
+                        parts.append(
+                            sparse_factored_decode_attention_xla(
+                                *fargs, ids, scale, cfg.num_kv_heads,
+                                block=blk,
+                                k_scale_slice=k_scale_slice,
+                                v_rank_scale=gf.v_scale,
+                                valid_len=prefill_len,
+                            )
+                        )
+            elif attention_impl == "pallas" and pallas_ok_b and tp_ok_b:
+                from xkv_tpu.ops.pallas.lowrank_attention import (
+                    lowrank_decode_attention_tp,
+                )
+
+                out_f, lse_f = lowrank_decode_attention_tp(
+                    mesh, q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :],
+                    lengths=prefill_len,
+                    k_scale_slice=k_scale_slice,
+                    v_rank_scale=gf.v_scale,
+                    scale=scale, num_kv_heads=cfg.num_kv_heads,
+                )
+                parts.append(PartialAttention(out=out_f, lse=lse_f))
+            elif attention_impl == "pallas" and pallas_ok_b and mesh is None:
                 from xkv_tpu.ops.pallas.lowrank_attention import (
                     lowrank_decode_attention,
                 )

@@ -78,6 +78,9 @@ def cache_pspecs(cache: XKVCache) -> XKVCache:
             k_vt=None if g.k_vt is None else P(DATA_AXIS, MODEL_AXIS, None),
             v_us=None if g.v_us is None else P(DATA_AXIS, None, MODEL_AXIS),
             v_vt=None if g.v_vt is None else P(DATA_AXIS, MODEL_AXIS, None),
+            # int8 scales are one row per batch; replicate columns.
+            k_scale=None if g.k_scale is None else P(DATA_AXIS, None, None),
+            v_scale=None if g.v_scale is None else P(DATA_AXIS, None, None),
             # Quest bounds are tiny (nc rows); replicate columns.
             k_cmin=None if g.k_cmin is None else P(DATA_AXIS, None, None),
             k_cmax=None if g.k_cmax is None else P(DATA_AXIS, None, None),
