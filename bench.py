@@ -166,13 +166,15 @@ def main():
 
     # Serving defaults (v5e 16 GB, 8-layer 8B geometry): the dense cache
     # (2.1 GB/seq @64K) + weights tops out at batch 4; the int8 factored
-    # cache (~0.2 GB/seq) runs batch 24 with room to spare. Both scale
-    # inversely with context (batch 8 / 48 at 32K).
+    # cache (~0.17 GB/seq) runs batch 48 (~12 GB with weights). Both scale
+    # inversely with context. Decode is compute-bound on factor
+    # reconstruction past ~batch 16, so the extra slots buy only a few
+    # percent — but they are real serving capacity.
     if args.quick:
         b_fact = args.batch_factored or 8
         b_dense = args.batch_dense or 8
     else:
-        b_fact = args.batch_factored or max(8, 48 * 32768 // ctx)
+        b_fact = args.batch_factored or max(8, 96 * 32768 // ctx)
         b_dense = args.batch_dense or max(1, 8 * 32768 // ctx)
     if args.matched:
         b_fact = b_dense = args.batch or 1

@@ -302,6 +302,8 @@ def main():
     ap.add_argument("--ctx", type=int, default=32768)
     ap.add_argument("--block-s", type=int, default=1024)
     ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--configs", default=None,
+                    help="comma list: full,-recon,-scores,... (default all)")
     args = ap.parse_args()
 
     q0 = jax.random.normal(
@@ -313,6 +315,9 @@ def main():
         + [("roll-rope", [x if x != "rope" else "rope_roll" for x in ALL])]
         + [("ropeq", [x if x != "rope" else "ropeq" for x in ALL])]
     )
+    if args.configs:
+        want = args.configs.split(",")
+        configs = [c for c in configs if c[0] in want]
     base = None
     for name, stages in configs:
         step = build_step(tuple(stages), args.block_s, args.ctx)

@@ -266,3 +266,81 @@ def test_mla_chunked_admission_matches_monolithic():
     ids_c, chunked = run_engine(4)
     for im, ic in zip(ids_m, ids_c):
         assert chunked[ic] == mono[im]
+
+
+def test_batched_speculative_matches_plain(params):
+    """Batched speculative decoding (sparse drafts, one exact multi-token
+    verify per round, per-slot acceptance) emits EXACTLY the tokens of the
+    plain batched engine — regardless of how often the drafts are right."""
+    xkv = xkv_cfg()
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(n,)).astype(np.int32)
+               for n in (16, 12, 9)]
+    n_new = 9
+
+    def run(spec):
+        kw = dict(sparse_topk=2, sparse_block=8)
+        if spec:
+            kw["speculative_k"] = 3
+        be = BatchedEngine(
+            params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=12,
+            prefill_buckets=[16], cache_dtype=jnp.float32,
+            factor_dtype=jnp.float32, **kw,
+        )
+        ids = [be.submit(p, n_new) for p in prompts]
+        return ids, {r.request_id: r.generated for r in be.run()}
+
+    # The plain engine here runs WITHOUT sparse_topk: emitted tokens must be
+    # exact either way (speculation's sparse path only shapes the drafts).
+    be_plain = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=12,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32,
+    )
+    ids_p = [be_plain.submit(p, n_new) for p in prompts]
+    plain = {r.request_id: r.generated for r in be_plain.run()}
+
+    ids_s, spec = run(True)
+    for ip, isp in zip(ids_p, ids_s):
+        assert spec[isp] == plain[ip], (spec[isp], plain[ip])
+        assert len(spec[isp]) == n_new
+
+
+def test_batched_speculative_with_refactorization(params):
+    """Speculative rounds interleave with tail refactorization: when a
+    slot's tail can't hold a full round, it tops up with plain steps, folds
+    the tail into the factors, and speculation resumes. Lossless ranks pin
+    the output to the uncompressed baseline."""
+    full_rank = 2 * CFG.num_kv_heads * CFG.head_dim
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1, group_size=2,
+        rank_k=full_rank, rank_v=full_rank, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(32)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(12,)).astype(np.int32)
+               for _ in range(2)]
+    n_new = 11  # multiple folds at tail_max=6
+
+    expected = reference_outputs(params, prompts, n_new)  # uncompressed
+
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=48, tail_max=6,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32, sparse_topk=2, sparse_block=8,
+        speculative_k=3,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, exp in zip(ids, expected):
+        assert by_id[rid] == exp
+
+
+def test_batched_speculative_validation(params):
+    xkv = xkv_cfg()
+    with pytest.raises(ValueError, match="requires sparse_topk"):
+        BatchedEngine(params, CFG, xkv=xkv, num_slots=1, s_max=16,
+                      tail_max=8, speculative_k=3)
+    with pytest.raises(ValueError, match="tail_max"):
+        BatchedEngine(params, CFG, xkv=xkv, num_slots=1, s_max=16,
+                      tail_max=3, sparse_topk=2, sparse_block=8,
+                      speculative_k=3)

@@ -68,6 +68,7 @@ class BatchedEngine:
         prefill_chunk: Optional[int] = None,
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
+        speculative_k: Optional[int] = None,
         mesh=None,
     ):
         if cfg.model_type == "deepseek_v2":
@@ -133,6 +134,19 @@ class BatchedEngine:
             {} if sparse_topk is None
             else {"sparse_select": sparse_topk, "sparse_block": sparse_block}
         )
+        # Batched speculative decoding: every active slot drafts
+        # ``speculative_k`` tokens with the cheap sparse path, then ONE exact
+        # multi-token pass verifies all slots at once; per-slot acceptance
+        # lengths advance each slot independently. Output per request is
+        # bit-exact to plain greedy decoding (`step` docstring).
+        if speculative_k is not None:
+            if sparse_topk is None:
+                raise ValueError("speculative_k requires sparse_topk "
+                                 "(the draft path)")
+            if speculative_k + 1 > tail_max:
+                raise ValueError(f"speculative_k={speculative_k} needs "
+                                 f"tail_max > speculative_k")
+        self.speculative_k = speculative_k
 
         self.batch_cache = self._empty_batch_cache()
         self._cache_shardings = None
@@ -164,6 +178,7 @@ class BatchedEngine:
         )
         self._prefill_jit: Dict[int, any] = {}
         self._step_jit = jax.jit(self._step_impl)
+        self._spec_step_jit = jax.jit(self._spec_step_impl)
         self._insert_jit = jax.jit(self._insert_impl, static_argnames=("s_bucket",))
         self._refactor_jit = jax.jit(self._refactor_impl)
         # Per-slot refactorization only exists for the factored-SVD cache.
@@ -467,6 +482,52 @@ class BatchedEngine:
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return next_tok, batch_cache
 
+    def _spec_step_impl(self, batch_cache, params, token, pos, prefill_len,
+                        tail_len):
+        """One batched speculative round (engine.py `_spec_round_impl`, made
+        per-slot): draft ``speculative_k`` tokens for EVERY slot with the
+        sparse path, verify them all with ONE exact multi-token batched
+        pass, accept each slot's longest matching prefix.
+
+        The verify pass re-appends exact K/V over rows [tail_len,
+        tail_len+k+1) of every slot's tail (draft rows are sparse-flavored),
+        so each slot's cache state equals having decoded its accepted tokens
+        exactly. Returns (exact (B, k+1), n_out (B,), cache); the scheduler
+        advances slot ``i`` by n_out[i] and emits exact[i, :n_out[i]].
+        """
+        k = self.speculative_k
+        t0 = tail_len
+
+        def body(carry, _):
+            tk, tv, tl, tok, p = carry
+            c = batch_cache.replace(tail_k=tk, tail_v=tv)
+            logits, c2 = self._model.decode_step_batched(
+                params, self.cfg, self.xkv, c, tok, p, prefill_len, tl,
+                self._cos_sin, attention_impl=self.attention_impl,
+                mesh=self.mesh, **self._sparse_kw,
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (c2.tail_k, c2.tail_v, tl + 1, nxt, p + 1), nxt
+
+        init = (batch_cache.tail_k, batch_cache.tail_v, t0, token, pos)
+        (tk, tv, _, _, _), drafts = jax.lax.scan(body, init, None, length=k)
+        drafts = jnp.transpose(drafts, (1, 0))  # (B, k)
+
+        vcache = batch_cache.replace(tail_k=tk, tail_v=tv)
+        inputs = jnp.concatenate([token[:, None], drafts], axis=1)  # (B, k+1)
+        logits, vcache = self._model.decode_step_batched(
+            params, self.cfg, self.xkv, vcache, inputs, pos, prefill_len, t0,
+            self._cos_sin, attention_impl=self.attention_impl, mesh=self.mesh,
+        )
+        if self._cache_shardings is not None:
+            vcache = jax.lax.with_sharding_constraint(
+                vcache, self._cache_shardings
+            )
+        exact = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+        matches = drafts == exact[:, :k]
+        n_acc = jnp.sum(jnp.cumprod(matches.astype(jnp.int32), axis=1), axis=1)
+        return exact, n_acc + 1, vcache
+
     # ------------------------------------------------------------ public API
     def submit(self, tokens, max_new_tokens: int) -> int:
         req = Request(self._next_id, np.asarray(tokens, np.int32).reshape(-1),
@@ -537,11 +598,15 @@ class BatchedEngine:
             self._tail_capacity_finished.append(req)
 
     def step(self) -> List[Request]:
-        """Admit queued requests, run one decode step, return newly finished
+        """Admit queued requests, run one decode step (or one speculative
+        round when ``speculative_k`` is set — emitted tokens are bit-exact
+        to plain greedy decoding either way), return newly finished
         requests."""
         self._admit()
         if not self.slot_request:
             return []
+        if self.speculative_k is not None and not self._spec_blocked():
+            return self._spec_round()
         next_tok, self.batch_cache = self._step_jit(
             self.batch_cache,
             self.params,
@@ -560,6 +625,51 @@ class BatchedEngine:
             req.generated.append(tok)
             self.token[slot] = tok
             self._maybe_finish(slot)
+            if req.done:
+                finished.append(req)
+            else:
+                self._handle_full_tail(slot)
+        finished.extend(self._tail_capacity_finished)
+        return finished
+
+    def _spec_blocked(self) -> bool:
+        """True when some active slot lacks tail room for a full speculative
+        round (k drafts + 1). Those slots top up with plain steps until the
+        tail fills and `_handle_full_tail` folds it back into the factors."""
+        need = self.speculative_k + 1
+        return any(
+            self.tail_len[slot] + need > self.tail_max
+            for slot in self.slot_request
+        )
+
+    def _spec_round(self) -> List[Request]:
+        """One batched speculative round: advance every active slot by its
+        own acceptance length (1..k+1 tokens)."""
+        exact, n_out, self.batch_cache = self._spec_step_jit(
+            self.batch_cache,
+            self.params,
+            jnp.asarray(self.token),
+            jnp.asarray(self.pos),
+            jnp.asarray(self.prefill_len),
+            jnp.asarray(self.tail_len),
+        )
+        exact = np.asarray(exact)
+        n_out = np.asarray(n_out)
+        finished = []
+        self._tail_capacity_finished: List[Request] = []
+        for slot, req in list(self.slot_request.items()):
+            n = int(n_out[slot])
+            # Cache rows [t0, t0+n) are this slot's real history now, even
+            # if EOS/max_new truncates the *emitted* tokens below (the slot
+            # is freed in that case, so the extra rows never matter).
+            self.tail_len[slot] += n
+            self.pos[slot] += n
+            for tok in exact[slot, :n]:
+                req.generated.append(int(tok))
+                self.token[slot] = int(tok)
+                self._maybe_finish(slot)
+                if req.done:
+                    break
             if req.done:
                 finished.append(req)
             else:

@@ -499,8 +499,8 @@ def decode_step_batched(
     cfg: ModelConfig,
     xkv: Optional[XKVConfig],
     cache: XKVCache,
-    tokens: jax.Array,       # (B,) one token per slot
-    pos: jax.Array,          # (B,) absolute position per slot
+    tokens: jax.Array,       # (B,) one token per slot, or (B, ql) multi-token
+    pos: jax.Array,          # (B,) absolute position per slot (of tokens[:, 0])
     prefill_len: jax.Array,  # (B,) valid prefill length per slot
     tail_len: jax.Array,     # (B,) tail fill per slot
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
@@ -516,16 +516,28 @@ def decode_step_batched(
     slots simply produce garbage logits the scheduler ignores. With a mesh,
     the pallas path goes through the shard_map TP kernels (kv heads on the
     model axis); everything else is GSPMD-propagated.
+
+    2-D ``tokens`` runs a multi-token pass per slot (the batched
+    speculative-decoding verify), appending ``ql`` exact K/V rows at each
+    slot's ``tail_len`` and masking causally among the new rows. Logits are
+    then (B, ql, V); 1-D tokens keep the (B, V) contract.
     """
-    b = tokens.shape[0]
+    multi = tokens.ndim == 2
+    tokens2 = tokens if multi else tokens[:, None]
+    b, ql = tokens2.shape
+    if sparse_select is not None and multi:
+        raise ValueError("sparse top-k decode is single-token (drafts); "
+                         "verify passes run exact attention")
     scale = 1.0 / math.sqrt(cfg.head_dim)
-    positions = pos[:, None]  # (B, 1)
+    positions = pos[:, None] + jnp.arange(ql, dtype=pos.dtype)[None, :]  # (B, ql)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos_t_arg = cos[:, 0, :] if ql == 1 else cos
+    sin_t_arg = sin[:, 0, :] if ql == 1 else sin
     cos_p, sin_p = prefill_cos_sin
 
     grp_index = layer_group_index(xkv) if xkv is not None else {}
 
-    h = params["embed"][tokens[:, None]]
+    h = params["embed"][tokens2]
     for li, layer in enumerate(params["layers"]):
         resid = h
         x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
@@ -586,8 +598,8 @@ def decode_step_batched(
                     )
 
                     out_f, lse_f = sparse_lowrank_decode_attention_tp(
-                        mesh, q_pre, q, *fargs[1:], cos[:, 0, :],
-                        sin[:, 0, :], cmin_sl, cmax_sl,
+                        mesh, q_pre, q, *fargs[1:], cos_t_arg,
+                        sin_t_arg, cmin_sl, cmax_sl,
                         lengths=prefill_len,
                         k_scale_slice=k_scale_slice,
                         v_rank_scale=gf.v_scale,
@@ -612,7 +624,7 @@ def decode_step_batched(
                         )
 
                         out_f, lse_f = sparse_lowrank_decode_attention(
-                            q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :],
+                            q_pre, *fargs[1:], cos_t_arg, sin_t_arg,
                             ids,
                             lengths=prefill_len,
                             k_scale_slice=k_scale_slice,
@@ -639,7 +651,7 @@ def decode_step_batched(
                 )
 
                 out_f, lse_f = lowrank_decode_attention_tp(
-                    mesh, q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :],
+                    mesh, q_pre, *fargs[1:], cos_t_arg, sin_t_arg,
                     lengths=prefill_len,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
@@ -652,7 +664,7 @@ def decode_step_batched(
                 )
 
                 out_f, lse_f = lowrank_decode_attention(
-                    q_pre, *fargs[1:], cos[:, 0, :], sin[:, 0, :], prefill_len,
+                    q_pre, *fargs[1:], cos_t_arg, sin_t_arg, prefill_len,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
                     scale=scale, num_kv_heads=cfg.num_kv_heads,
@@ -685,7 +697,8 @@ def decode_step_batched(
             )[:, None, None, :]
             parts.append(attention_partial(q, k_pf, v_pf, scale, mask))
 
-        valid = (tail_len + 1)[:, None]
+        # Causal within the new rows: query i sees tail rows < tail_len+i+1.
+        valid = tail_len[:, None] + 1 + jnp.arange(ql, dtype=jnp.int32)[None, :]
         parts.append(
             dense_decode_attention_xla(
                 q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid
@@ -693,9 +706,9 @@ def decode_step_batched(
         )
 
         attn = merge_partials(*parts).astype(h.dtype)
-        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, 1, -1)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, ql, -1)
         h = resid + attn @ layer["attn"]["wo"]
         h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
 
     logits = unembed(params, cfg, h)
-    return logits[:, 0], cache
+    return (logits if multi else logits[:, 0]), cache
