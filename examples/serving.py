@@ -2,6 +2,9 @@
 
 Requests with different prompt lengths flow through a 2-slot BatchedEngine
 with bucketed prefill admission; finished slots are recycled immediately.
+A second pass reruns the same requests with batched speculative decoding
+(sparse drafts + one exact multi-token verify per round, per-slot
+acceptance) and checks the outputs are bit-identical.
 
 Run:  python examples/serving.py
 """
@@ -50,6 +53,24 @@ def main():
     for r in sorted(done, key=lambda r: r.request_id):
         print(f"  request {r.request_id}: {len(r.generated)} tokens -> "
               f"{r.generated[:6]}...")
+
+    # Same requests through batched speculative decoding: bit-exact output.
+    be_spec = BatchedEngine(
+        params, cfg, xkv=xkv, num_slots=2, s_max=128, tail_max=16,
+        prefill_buckets=[32, 64, 128],
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+        sparse_topk=2, sparse_block=32, speculative_k=4,
+    )
+    rng = np.random.default_rng(0)
+    for i in range(n_requests):
+        n = int(rng.integers(16, 100))
+        prompt = rng.integers(0, cfg.vocab_size, size=(n,)).astype(np.int32)
+        be_spec.submit(prompt, max_new_tokens=int(rng.integers(4, 12)))
+    done_spec = {r.request_id: r.generated for r in be_spec.run()}
+    plain = {r.request_id: r.generated for r in done}
+    assert done_spec == plain
+    print(f"speculative serving (k=4): same {len(done_spec)} requests, "
+          "bit-exact tokens")
 
 
 if __name__ == "__main__":

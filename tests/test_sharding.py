@@ -326,3 +326,38 @@ def test_batched_engine_mesh_rejects_indivisible_slots(params):
             params, CFG, xkv=None, num_slots=3, s_max=16, tail_max=8,
             mesh=make_mesh(data=4, model=2),
         )
+
+
+def test_batched_speculative_mesh_matches_single(params):
+    """Batched speculative decoding on the DP(slots) x TP(heads) mesh:
+    sparse TP drafts + one exact TP multi-token verify per round, per-slot
+    acceptance — same tokens as the plain single-device batched engine."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(13)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=(n,)).astype(np.int32)
+        for n in (16, 12, 15, 10)
+    ]
+    n_new = 6
+    common = dict(
+        xkv=xkv, num_slots=4, s_max=16, tail_max=10, prefill_buckets=[16],
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+        attention_impl="pallas",
+    )
+    be_ref = BatchedEngine(params, CFG, **common)
+    ref_ids = [be_ref.submit(p, n_new) for p in prompts]
+    ref = {r.request_id: r.generated for r in be_ref.run()}
+
+    be_spec = BatchedEngine(
+        params, CFG, mesh=make_mesh(data=4, model=2),
+        sparse_topk=2, sparse_block=8, speculative_k=3, **common
+    )
+    ids = [be_spec.submit(p, n_new) for p in prompts]
+    got = {r.request_id: r.generated for r in be_spec.run()}
+    for rid_m, rid_r in zip(ids, ref_ids):
+        assert got[rid_m] == ref[rid_r]
