@@ -82,8 +82,7 @@ def _repeat_cols(x: jax.Array, reps: int, interpret: bool) -> jax.Array:
 
 def _lowrank_sparse_kernel(
     ids_ref,  # (b, n_sel) int32 scalar-prefetch — selected chunk ids
-    qa_ref,  # (1, hq, hkv*hd)
-    qb_ref,
+    qab_ref,  # (1, hq, 2*hkv*hd) — [qa | qb] along columns
     head_mask_ref,
     len_ref,  # (b, 1) int32 SMEM
     k_us_ref,  # (1, block_s, rk) — block si = chunk ids_ref[bi, si]
@@ -113,7 +112,7 @@ def _lowrank_sparse_kernel(
     bi = pl.program_id(0)
     si = pl.program_id(1)
     _lowrank_block_body(
-        qa_ref, qb_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
+        qab_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
         v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref,
         o_ref, lse_ref, m_scratch, l_scratch, t_scratch,
         bi=bi, si=si, num_s=pl.num_programs(1),
@@ -124,10 +123,11 @@ def _lowrank_sparse_kernel(
 
 
 def _lowrank_kernel(
-    qa_ref,  # (1, R, hkv*hd)  query embeds, R = ql*hq rows: block-diagonal
-             # q with the row's query-position trig AND scales folded
-             # (see wrapper) — qa carries q*c_t - q~*s_t
-    qb_ref,  # (1, R, hkv*hd)  q*s_t + q~*c_t (the sin-field partner)
+    qab_ref,  # (1, R, 2*hkv*hd)  query embeds, R = ql*hq rows: block-
+              # diagonal q with the row's query-position trig AND scales
+              # folded (see wrapper) — columns [:m] carry q*c_t - q~*s_t
+              # (the cos-field partner), columns [m:] carry q*s_t + q~*c_t
+              # (the sin-field partner)
     head_mask_ref,  # (R, hkv*hd)  1.0 on the row's own head's columns
     len_ref,  # (b, 1) int32 in SMEM — per-sequence valid prefill lengths
               # (full array: Mosaic rejects (1,1) blocks of a (b,1) array)
@@ -154,7 +154,7 @@ def _lowrank_kernel(
     bi = pl.program_id(0)
     si = pl.program_id(1)
     _lowrank_block_body(
-        qa_ref, qb_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
+        qab_ref, head_mask_ref, len_ref, k_us_ref, k_vt_ref,
         v_us_ref, v_vt_ref, v_scale_ref, cos_ref, sin_ref,
         o_ref, lse_ref, m_scratch, l_scratch, t_scratch,
         bi=bi, si=si, num_s=pl.num_programs(1),
@@ -165,8 +165,7 @@ def _lowrank_kernel(
 
 
 def _lowrank_block_body(
-    qa_ref,
-    qb_ref,
+    qab_ref,
     head_mask_ref,
     len_ref,
     k_us_ref,
@@ -226,15 +225,14 @@ def _lowrank_block_body(
     )  # (block_s, hkv*hd)
     sin_w = _repeat_cols(sin_ref[...].astype(compute_dtype), reps, interpret)
 
-    # ---- scores: two packed 2D multiplies + two GEMMs over all rows ----
-    a = k_pre * cos_w
-    b2 = k_pre * sin_w
+    # ---- scores: two packed 2D multiplies + one K=2m GEMM over all rows
+    # (the two trig-field products contract against the concatenated
+    # [qa | qb] embed in a single matmul — one MXU dispatch instead of two;
+    # the concat is value-producing, so Mosaic writes the products straight
+    # into the combined buffer) ----
+    ab = jnp.concatenate([k_pre * cos_w, k_pre * sin_w], axis=1)
     s = jax.lax.dot_general(
-        qa_ref[0].astype(compute_dtype), a,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        qb_ref[0].astype(compute_dtype), b2,
+        qab_ref[0].astype(compute_dtype), ab,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (hq, block_s); attention scale + int8 scale folded into qa/qb
@@ -307,7 +305,9 @@ def _query_embeds(
     (q~ = [q2, -q1]) so the in-kernel trig fields depend only on the KEY
     position — one field pair serves any number of query rows.
 
-    Returns (qa_emb (b, R, m), qb_emb (b, R, m), head_mask (R, m)).
+    Returns (qab_emb (b, R, 2m) — [qa | qb] along columns, matching the
+    kernel's concatenated [K*cos | K*sin] trig fields — and
+    head_mask (R, m)).
     """
     b, hq, ql, hd = q_pre.shape
     hkv = num_kv_heads
@@ -331,7 +331,7 @@ def _query_embeds(
     emb_dtype = q_pre.dtype if q_pre.dtype != jnp.float32 else jnp.float32
     qa_emb = (jnp.tile(qa, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
     qb_emb = (jnp.tile(qb, (1, 1, hkv)) * head_mask[None] * fold).astype(emb_dtype)
-    return qa_emb, qb_emb, head_mask
+    return jnp.concatenate([qa_emb, qb_emb], axis=2), head_mask
 
 
 @functools.partial(
@@ -401,7 +401,7 @@ def lowrank_decode_attention(
     else:
         k_scale_slice = None
         v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
-    qa_emb, qb_emb, head_mask = _query_embeds(
+    qab_emb, head_mask = _query_embeds(
         q_pre, cos_t, sin_t, hkv, scale, k_scale_slice
     )
 
@@ -426,8 +426,7 @@ def lowrank_decode_attention(
         ),
         grid=(b, grid_s),
         in_specs=[
-            pl.BlockSpec((1, R, m), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((1, R, m), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, R, 2 * m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((R, m), lambda bi, si: (0, 0)),
             pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_s, k_us.shape[2]), lambda bi, si: (bi, si, 0)),
@@ -454,7 +453,7 @@ def lowrank_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qa_emb, qb_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice,
+    )(qab_emb, head_mask, lengths, k_us, k_vt_slice, v_us, v_vt_slice,
       v_rank_scale, cos_p, sin_p)
 
     # rows (ql, hq) -> (b, hq, ql, hd) / (b, hq, ql)
@@ -527,7 +526,7 @@ def sparse_lowrank_decode_attention(
     else:
         k_scale_slice = None
         v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
-    qa_emb, qb_emb, head_mask = _query_embeds(
+    qab_emb, head_mask = _query_embeds(
         q_pre, cos_t, sin_t, hkv, scale, k_scale_slice
     )
 
@@ -548,8 +547,7 @@ def sparse_lowrank_decode_attention(
         num_scalar_prefetch=1,
         grid=(b, n_sel),
         in_specs=[
-            pl.BlockSpec((1, hq, m), lambda bi, si, ids: (bi, 0, 0)),
-            pl.BlockSpec((1, hq, m), lambda bi, si, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, hq, 2 * m), lambda bi, si, ids: (bi, 0, 0)),
             pl.BlockSpec((hq, m), lambda bi, si, ids: (0, 0)),
             pl.BlockSpec(
                 (b, 1), lambda bi, si, ids: (0, 0), memory_space=pltpu.SMEM
@@ -590,7 +588,7 @@ def sparse_lowrank_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(chunk_ids.astype(jnp.int32), qa_emb, qb_emb, head_mask, lengths,
+    )(chunk_ids.astype(jnp.int32), qab_emb, head_mask, lengths,
       k_us, k_vt_slice, v_us, v_vt_slice, v_rank_scale, cos_h, sin_h)
 
     return out[:, :, None, :], lse[:, 0, :, None]
