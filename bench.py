@@ -122,6 +122,19 @@ def measure_decode(eng, prompt, batch: int, steps: int) -> float:
     return batch / per_step
 
 
+def measure_prefill(eng, ctx: int, vocab: int) -> float:
+    """Wall seconds for one ctx-token prefill (+ SVD compression when the
+    engine is factored). Single-shot with a distinct prompt after a warmup
+    (tunnel memoization, bench module docstring) — includes the fixed
+    dispatch overhead, so treat as TTFT-ish, not pure device time."""
+    p1 = jax.random.randint(jax.random.PRNGKey(7), (1, ctx), 0, vocab)
+    p2 = jax.random.randint(jax.random.PRNGKey(8), (1, ctx), 0, vocab)
+    jax.device_get(eng.prefill(p1)[0])  # compile + warm
+    t0 = time.perf_counter()
+    jax.device_get(eng.prefill(p2)[0])
+    return time.perf_counter() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny model smoke run")
@@ -183,6 +196,8 @@ def main():
 
     factor_dtype = "int8" if args.factor_dtype == "int8" else jnp.bfloat16
     tps_fact = tps_none = None
+    prefill_fact_s = prefill_none_s = None
+    want_prefill = not (args.quick or args.matched)
     if args.only in (None, "factored"):
         eng_fact = InferenceEngine(
             params, cfg, xkv=xkv, mode="factored", tail_max=tail,
@@ -191,6 +206,8 @@ def main():
             sparse_topk=args.sparse, sparse_block=args.sparse_block,
         )
         tps_fact = measure_decode(eng_fact, prompt, b_fact, steps)
+        if want_prefill and args.only is None:
+            prefill_fact_s = measure_prefill(eng_fact, ctx, cfg.vocab_size)
         del eng_fact
     if args.only in (None, "none"):
         eng_none = InferenceEngine(
@@ -199,6 +216,8 @@ def main():
             prefill_logits="last",
         )
         tps_none = measure_decode(eng_none, prompt, b_dense, steps)
+        if want_prefill and args.only is None:
+            prefill_none_s = measure_prefill(eng_none, ctx, cfg.vocab_size)
 
     if args.only:
         tps = tps_fact if args.only == "factored" else tps_none
@@ -219,6 +238,10 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(tps_fact / tps_none, 3),
     }
+    if prefill_fact_s is not None:
+        # Supplementary TTFT: prefill + SVD compression vs dense prefill.
+        record["prefill_compress_s"] = round(prefill_fact_s, 3)
+        record["prefill_dense_s"] = round(prefill_none_s, 3)
     # Supplementary: opt-in approximate sparse top-k decode at the same
     # batch (headline value/vs_baseline stay EXACT factored attention).
     if not (args.quick or args.matched or args.no_sparse_extra):

@@ -58,6 +58,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--factor_dtype", type=str, default="bf16",
                         choices=["bf16", "fp32", "int8"],
                         help="low-rank factor storage dtype (int8 = quantized)")
+    parser.add_argument("--speculative_k", type=int, default=None,
+                        help="speculative decoding: draft N tokens with the "
+                        "sparse path, verify with one exact multi-token "
+                        "pass (bit-exact greedy output; needs "
+                        "--sparse_topk)")
     parser.add_argument("--sparse_topk", type=int, default=None,
                         help="sparse decode: attend to the N best prefill "
                         "chunks per step (Quest-bound selection)")

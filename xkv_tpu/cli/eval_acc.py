@@ -73,7 +73,19 @@ def main(argv=None):
 
     eos = getattr(tokenizer, "eos_token_id", None)
 
+    spec_k = getattr(args, "speculative_k", None)
+    if spec_k is not None and engine.sparse_topk is None:
+        raise SystemExit("--speculative_k needs --sparse_topk (draft path)")
+
     def generate_fn(prompt_ids, gen_len):
+        if spec_k is not None:
+            # Sparse-draft / exact-verify: same tokens as engine.generate,
+            # ~(k+1)x fewer exact-attention rounds when drafts agree.
+            out = engine.generate_speculative(
+                prompt_ids, max_new_tokens=gen_len, draft_k=spec_k,
+                eos_token_id=eos,
+            )
+            return np.asarray(out)[0]
         out = engine.generate(prompt_ids, max_new_tokens=gen_len, eos_token_id=eos)
         return out[0] if isinstance(out, list) else np.asarray(out)[0]
 
