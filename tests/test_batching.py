@@ -344,3 +344,34 @@ def test_batched_speculative_validation(params):
         BatchedEngine(params, CFG, xkv=xkv, num_slots=1, s_max=16,
                       tail_max=3, sparse_topk=2, sparse_block=8,
                       speculative_k=3)
+
+
+def test_batched_mla_speculative_matches_plain():
+    """Batched MLA speculative serving (rank-truncated latent drafts, one
+    exact multi-token verify per round) matches the plain batched MLA
+    engine token-for-token."""
+    from tests.test_deepseek_mla import CFG as MLA_CFG, latent_xkv
+    from xkv_tpu.models import deepseek
+
+    params = deepseek.init_params(MLA_CFG, jax.random.PRNGKey(3),
+                                  dtype=jnp.float32)
+    xkv = latent_xkv(group_size=2, rank=24)
+    rng = np.random.default_rng(33)
+    prompts = [rng.integers(0, MLA_CFG.vocab_size, size=(n,)).astype(np.int32)
+               for n in (16, 12, 10)]
+    n_new = 7
+
+    def run(**kw):
+        be = BatchedEngine(
+            params, MLA_CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=10,
+            prefill_buckets=[16], cache_dtype=jnp.float32,
+            factor_dtype=jnp.float32, **kw,
+        )
+        ids = [be.submit(p, n_new) for p in prompts]
+        return ids, {r.request_id: r.generated for r in be.run()}
+
+    ids_p, plain = run()
+    ids_s, spec = run(speculative_k=3, draft_rank=8)
+    for ip, isp in zip(ids_p, ids_s):
+        assert spec[isp] == plain[ip], (spec[isp], plain[ip])
+        assert len(spec[isp]) == n_new

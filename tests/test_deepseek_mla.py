@@ -145,3 +145,28 @@ def test_compression_ratio_mla(params, prompt):
     _, cache = make_engine(params, "factored", xkv).prefill(prompt)
     ratio = cache.compression_ratio(CFG)
     assert ratio > 1.0
+
+
+def test_mla_speculative_matches_plain(params, prompt):
+    """MLA speculative decoding (rank-truncated latent drafts, exact
+    multi-token verify) emits exactly the tokens of plain factored
+    decoding — the truncation only shapes drafts."""
+    xkv = latent_xkv(group_size=2, rank=32)
+    n_new = 8
+    p1 = prompt[:1]  # speculation is batch-1 (per-sequence acceptance)
+    plain = make_engine(params, "factored", xkv=xkv)
+    expected = np.asarray(plain.generate(p1, n_new)).tolist()
+
+    spec = make_engine(params, "factored", xkv=xkv, draft_rank=8)
+    got = np.asarray(
+        spec.generate_speculative(p1, n_new, draft_k=3)
+    ).tolist()
+    assert got == expected
+
+
+def test_mla_draft_rank_validation(params):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires sparse_topk"):
+        eng = make_engine(params, "factored", xkv=latent_xkv())
+        eng.generate_speculative(np.zeros((1, 8), np.int32), 4)

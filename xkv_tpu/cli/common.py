@@ -60,9 +60,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="low-rank factor storage dtype (int8 = quantized)")
     parser.add_argument("--speculative_k", type=int, default=None,
                         help="speculative decoding: draft N tokens with the "
-                        "sparse path, verify with one exact multi-token "
+                        "cheap path, verify with one exact multi-token "
                         "pass (bit-exact greedy output; needs "
-                        "--sparse_topk)")
+                        "--sparse_topk for llama or --draft_rank for MLA)")
+    parser.add_argument("--draft_rank", type=int, default=None,
+                        help="MLA speculative drafts: truncate the factored "
+                        "latents to the top-r singular directions (draft "
+                        "only; plain decode stays full-rank)")
     parser.add_argument("--sparse_topk", type=int, default=None,
                         help="sparse decode: attend to the N best prefill "
                         "chunks per step (Quest-bound selection)")
@@ -153,6 +157,8 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
     if getattr(args, "sparse_topk", None) and mode == "factored":
         kw.setdefault("sparse_topk", args.sparse_topk)
         kw.setdefault("sparse_block", args.sparse_block)
+    if getattr(args, "draft_rank", None) and mode == "factored":
+        kw.setdefault("draft_rank", args.draft_rank)
     return InferenceEngine(
         params, cfg, xkv=xkv, mode=mode, tail_max=tail_max,
         attention_impl=attention_impl, mesh=mesh, **kw,

@@ -74,8 +74,10 @@ def main(argv=None):
     eos = getattr(tokenizer, "eos_token_id", None)
 
     spec_k = getattr(args, "speculative_k", None)
-    if spec_k is not None and engine.sparse_topk is None:
-        raise SystemExit("--speculative_k needs --sparse_topk (draft path)")
+    if spec_k is not None and engine.sparse_topk is None \
+            and engine.draft_rank is None:
+        raise SystemExit("--speculative_k needs --sparse_topk (llama) or "
+                         "--draft_rank (MLA) — the draft path")
 
     def generate_fn(prompt_ids, gen_len):
         if spec_k is not None:

@@ -69,6 +69,7 @@ class BatchedEngine:
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
         speculative_k: Optional[int] = None,
+        draft_rank: Optional[int] = None,
         mesh=None,
     ):
         if cfg.model_type == "deepseek_v2":
@@ -134,15 +135,27 @@ class BatchedEngine:
             {} if sparse_topk is None
             else {"sparse_select": sparse_topk, "sparse_block": sparse_block}
         )
+        # Rank-truncated drafts (MLA's speculative draft flavor; llama
+        # drafts with sparse_topk). Draft-only: plain steps stay full-rank.
+        if draft_rank is not None and not self._mla:
+            raise ValueError("draft_rank drafts are MLA-only (llama-family "
+                             "speculation drafts with sparse_topk)")
+        self.draft_rank = draft_rank
+        self._draft_kw = (
+            self._sparse_kw if sparse_topk is not None
+            else ({"draft_rank": draft_rank} if draft_rank is not None else {})
+        )
         # Batched speculative decoding: every active slot drafts
-        # ``speculative_k`` tokens with the cheap sparse path, then ONE exact
+        # ``speculative_k`` tokens with the cheap draft path (sparse top-k
+        # for llama, rank-truncated latents for MLA), then ONE exact
         # multi-token pass verifies all slots at once; per-slot acceptance
         # lengths advance each slot independently. Output per request is
         # bit-exact to plain greedy decoding (`step` docstring).
         if speculative_k is not None:
-            if sparse_topk is None:
+            if sparse_topk is None and draft_rank is None:
                 raise ValueError("speculative_k requires sparse_topk "
-                                 "(the draft path)")
+                                 "(llama) or draft_rank (MLA) — the draft "
+                                 "path")
             if speculative_k + 1 > tail_max:
                 raise ValueError(f"speculative_k={speculative_k} needs "
                                  f"tail_max > speculative_k")
@@ -504,7 +517,7 @@ class BatchedEngine:
             logits, c2 = self._model.decode_step_batched(
                 params, self.cfg, self.xkv, c, tok, p, prefill_len, tl,
                 self._cos_sin, attention_impl=self.attention_impl,
-                mesh=self.mesh, **self._sparse_kw,
+                mesh=self.mesh, **self._draft_kw,
             )
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (c2.tail_k, c2.tail_v, tl + 1, nxt, p + 1), nxt

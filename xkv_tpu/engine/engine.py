@@ -43,6 +43,7 @@ class InferenceEngine:
         prefill_logits: str = "all",
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
+        draft_rank: Optional[int] = None,
     ):
         if mode not in ("factored", "fake", "none"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -66,6 +67,22 @@ class InferenceEngine:
         self._sparse_kw = (
             {} if sparse_topk is None
             else {"sparse_select": sparse_topk, "sparse_block": sparse_block}
+        )
+        # Rank-truncated drafts for speculative decoding (MLA: the absorbed
+        # decode has no sparse chunk path, but the SVD-ordered latent
+        # factors truncate to the best rank-r approximation). Draft-only:
+        # plain decode stays full-rank.
+        if draft_rank is not None:
+            if cfg.model_type != "deepseek_v2":
+                raise ValueError("draft_rank drafts are MLA-only "
+                                 "(llama-family speculation drafts with "
+                                 "sparse_topk)")
+            if mode != "factored":
+                raise ValueError("draft_rank requires mode='factored'")
+        self.draft_rank = draft_rank
+        self._draft_kw = (
+            self._sparse_kw if sparse_topk is not None
+            else ({"draft_rank": draft_rank} if draft_rank is not None else {})
         )
         if mode != "none" and xkv is None:
             raise ValueError("xkv config required unless mode='none'")
@@ -253,7 +270,7 @@ class InferenceEngine:
             logits, step_cache = self._model.decode_step(
                 params, self.cfg, self.xkv, step_cache, token[:, None], p,
                 cos_sin, attention_impl=self.attention_impl, mesh=self.mesh,
-                **self._sparse_kw,
+                **self._draft_kw,
             )
             nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             carry = (
@@ -404,9 +421,9 @@ class InferenceEngine:
         engine to be constructed with ``sparse_topk`` (the draft path),
         mode='factored', batch 1.
         """
-        if self.sparse_topk is None:
+        if self.sparse_topk is None and self.draft_rank is None:
             raise ValueError("generate_speculative requires sparse_topk "
-                             "(the draft path)")
+                             "(llama) or draft_rank (MLA) — the draft path")
         tokens = jnp.asarray(tokens, jnp.int32)
         if tokens.shape[0] != 1:
             raise ValueError("speculative decoding is batch-1 "

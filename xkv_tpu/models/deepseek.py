@@ -323,15 +323,23 @@ def decode_step(
     prefill_cos_sin: Tuple[jax.Array, jax.Array],
     attention_impl: str = "xla",
     mesh=None,
+    draft_rank: Optional[int] = None,
 ) -> Tuple[jax.Array, XKVCache]:
     """Absorbed MLA decode over the hybrid latent cache.
 
     Per layer: nope scores contract the query (through W_uk) against the
     latent — in rank space when the group is factored; pe scores use the
     dense k_pe slot; output recombines via W_uv then o_proj.
+
+    ``ql > 1`` runs a multi-token pass (the speculative verify): ql exact
+    latent/k_pe rows append to the tail, causally masked among themselves.
+    ``draft_rank`` truncates the factored latents to their top-r singular
+    directions — the cheap speculative DRAFT flavor (SVD ordering makes the
+    truncation the best rank-r approximation); the dense tail and k_pe
+    scores stay exact, and emitted tokens are exact whenever a verify pass
+    follows (engine `_spec_round_impl`).
     """
     b, ql = tokens.shape
-    assert ql == 1, "MLA decode is single-token"
     scale = softmax_scale(cfg)
     positions = pos + jnp.arange(ql)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
@@ -371,9 +379,13 @@ def decode_step(
             vt_l = jax.lax.slice_in_dim(
                 gf.k_vt, gpos * width, (gpos + 1) * width, axis=2
             )  # (b, rk, lora)
+            k_us = gf.k_us
+            if draft_rank is not None:
+                k_us = k_us[..., :draft_rank]
+                vt_l = vt_l[:, :draft_rank]
             # Rank-space is blocked by the rms_norm on the latent (nonlinear
             # per token); reconstruct the latent rows, normalize, contract.
-            latent_p = jnp.einsum("bsr,brl->bsl", gf.k_us, vt_l,
+            latent_p = jnp.einsum("bsr,brl->bsl", k_us, vt_l,
                                   preferred_element_type=jnp.float32)
             latent_p = norm_latent(latent_p)
         else:
@@ -386,8 +398,8 @@ def decode_step(
                             preferred_element_type=jnp.float32)
         scores_p = (s_nope_p + s_pe_p) * scale
 
-        # tail segment
-        valid = cache.tail_len + ql
+        # tail segment; causal among the ql new rows: query i sees tail
+        # rows < tail_len + i + 1
         latent_t = norm_latent(cache.tail_k[li][:, 0])  # (b, t_max, lora)
         k_pe_t = cache.tail_v[li][:, 0].astype(jnp.float32)
         s_nope_t = jnp.einsum("bhql,btl->bhqt", q_abs, latent_t,
@@ -395,7 +407,12 @@ def decode_step(
         s_pe_t = jnp.einsum("bhqd,btd->bhqt", q_pe.astype(jnp.float32), k_pe_t,
                             preferred_element_type=jnp.float32)
         scores_t = (s_nope_t + s_pe_t) * scale
-        t_mask = jnp.arange(cache.tail_max)[None, None, None, :] < valid
+        t_mask = (
+            jnp.arange(cache.tail_max)[None, None, None, :]
+            < (cache.tail_len + 1 + jnp.arange(ql, dtype=jnp.int32))[
+                None, None, :, None
+            ]
+        )
         scores_t = jnp.where(t_mask, scores_t, NEG_INF)
 
         # joint softmax over prefill + tail, then W_uv recombination
@@ -488,25 +505,33 @@ def decode_step_batched(
     cfg: ModelConfig,
     xkv: Optional[XKVConfig],
     cache: XKVCache,
-    tokens: jax.Array,       # (B,)
-    pos: jax.Array,          # (B,)
+    tokens: jax.Array,       # (B,) one token per slot, or (B, ql) multi-token
+    pos: jax.Array,          # (B,) absolute position per slot (of tokens[:, 0])
     prefill_len: jax.Array,  # (B,)
     tail_len: jax.Array,     # (B,)
     prefill_cos_sin,
     attention_impl: str = "xla",
     mesh=None,
+    draft_rank: Optional[int] = None,
 ) -> Tuple[jax.Array, XKVCache]:
     """Absorbed MLA decode across B independent slots (continuous batching):
     per-slot positions, prefill lengths (padded factors/latents masked), and
-    tail fill levels."""
-    b = tokens.shape[0]
+    tail fill levels.
+
+    2-D ``tokens`` runs a multi-token pass per slot (batched speculative
+    verify; logits become (B, ql, V)); ``draft_rank`` truncates the
+    factored latents to their top-r singular directions (the cheap draft
+    flavor — see ``decode_step``)."""
+    multi = tokens.ndim == 2
+    tokens2 = tokens if multi else tokens[:, None]
+    b, ql = tokens2.shape
     scale = softmax_scale(cfg)
-    positions = pos[:, None]
+    positions = pos[:, None] + jnp.arange(ql, dtype=pos.dtype)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
                             cfg.rope_scaling)
     grp_index = layer_group_index(xkv) if xkv is not None else {}
 
-    h = params["embed"][tokens[:, None]]
+    h = params["embed"][tokens2]
     for li, layer in enumerate(params["layers"]):
         resid = h
         x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
@@ -546,15 +571,19 @@ def decode_step_batched(
             vt_l = jax.lax.slice_in_dim(
                 gf.k_vt, gpos * width, (gpos + 1) * width, axis=2
             )
+            k_us = gf.k_us
+            if draft_rank is not None:
+                k_us = k_us[..., :draft_rank]
+                vt_l = vt_l[:, :draft_rank]
             if gf.k_scale is not None:
                 from xkv_tpu.compress.quant import QuantizedKFactors, dequantize_k
 
                 sc_l = jax.lax.slice_in_dim(
                     gf.k_scale, gpos * width, (gpos + 1) * width, axis=2
                 )
-                latent_p = dequantize_k(QuantizedKFactors(gf.k_us, vt_l, sc_l))
+                latent_p = dequantize_k(QuantizedKFactors(k_us, vt_l, sc_l))
             else:
-                latent_p = jnp.einsum("bsr,brl->bsl", gf.k_us, vt_l,
+                latent_p = jnp.einsum("bsr,brl->bsl", k_us, vt_l,
                                       preferred_element_type=jnp.float32)
             latent_p = norm_latent(latent_p)
         else:
@@ -579,27 +608,32 @@ def decode_step_batched(
         s_pe_t = jnp.einsum("bhqd,btd->bhqt", q_pe.astype(jnp.float32), k_pe_t,
                             preferred_element_type=jnp.float32)
         scores_t = (s_nope_t + s_pe_t) * scale
+        # Causal among the ql new rows: query i sees tail rows
+        # < tail_len + i + 1.
         t_mask = (
-            jnp.arange(cache.tail_max)[None, :] < (tail_len + 1)[:, None]
-        )[:, None, None, :]
+            jnp.arange(cache.tail_max)[None, None, :]
+            < (tail_len[:, None] + 1
+               + jnp.arange(ql, dtype=jnp.int32)[None, :])[..., None]
+        )[:, None, :, :]  # (B, 1, ql, t_max)
         scores_t = jnp.where(t_mask, scores_t, NEG_INF)
 
         scores = jnp.concatenate([scores_p, scores_t], axis=-1)
         probs = jax.nn.softmax(scores, axis=-1)
         # zero masked columns explicitly (fully-masked pad rows otherwise
         # contribute garbage latents)
-        probs = probs * jnp.concatenate(
-            [p_mask, t_mask], axis=-1
-        ).astype(probs.dtype)
+        full_mask = jnp.concatenate(
+            [jnp.broadcast_to(p_mask, (b, 1, ql, s_p_len)), t_mask], axis=-1
+        )
+        probs = probs * full_mask.astype(probs.dtype)
         p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
         lat_sum = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p) + jnp.einsum(
             "bhqt,btl->bhql", p_tail, latent_t
         )
         attn = jnp.einsum("bhql,hlv->bhqv", lat_sum, w_uv.astype(jnp.float32))
-        attn = jnp.transpose(attn.astype(h.dtype), (0, 2, 1, 3)).reshape(b, 1, -1)
+        attn = jnp.transpose(attn.astype(h.dtype), (0, 2, 1, 3)).reshape(b, ql, -1)
         h = resid + attn @ ap["o_proj"]
         h = h + _mlp(layer["mlp"], cfg, rms_norm(h, layer["post_norm"],
                                                  cfg.rms_norm_eps))
 
     logits = unembed(params, cfg, h)
-    return logits[:, 0], cache
+    return (logits if multi else logits[:, 0]), cache
