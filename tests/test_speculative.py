@@ -100,12 +100,15 @@ def test_speculative_draft_acceptance_on_trained_model():
         sparse_topk=3, sparse_block=8,
     )
     out_e = np.asarray(eng_exact.generate(prompt, max_new_tokens=M - 4))
-    out_s = np.asarray(eng_spec.generate_speculative(
-        prompt, max_new_tokens=M - 4, draft_k=4
-    ))
-    np.testing.assert_array_equal(out_s, out_e)
+    out_s, stats = eng_spec.generate_speculative(
+        prompt, max_new_tokens=M - 4, draft_k=4, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(out_s), out_e)
     # retrieval succeeded (the model actually predicts the second copy)
     assert (out_e[0] == x[0, 4:]).mean() > 0.9
+    # the drafts actually get accepted: >2 tokens per exact-attention round
+    # on the predictable continuation (max possible is draft_k + 1 = 5)
+    assert stats["tokens_per_round"] > 2.0, stats
 
 
 def test_speculative_requires_sparse(params):

@@ -184,6 +184,9 @@ class BatchedEngine:
 
         self.queue: List[Request] = []
         self._next_id = 0
+        # Speculation telemetry: rounds run, tokens emitted by rounds, and
+        # plain top-up steps (capacity-blocked rounds).
+        self.spec_stats = {"rounds": 0, "round_tokens": 0, "plain_steps": 0}
 
         rope_dim = cfg.qk_rope_head_dim if self._mla else cfg.head_dim
         self._cos_sin = rope_cos_sin(
@@ -620,6 +623,8 @@ class BatchedEngine:
             return []
         if self.speculative_k is not None and not self._spec_blocked():
             return self._spec_round()
+        if self.speculative_k is not None:
+            self.spec_stats["plain_steps"] += 1
         next_tok, self.batch_cache = self._step_jit(
             self.batch_cache,
             self.params,
@@ -668,10 +673,12 @@ class BatchedEngine:
         )
         exact = np.asarray(exact)
         n_out = np.asarray(n_out)
+        self.spec_stats["rounds"] += 1
         finished = []
         self._tail_capacity_finished: List[Request] = []
         for slot, req in list(self.slot_request.items()):
             n = int(n_out[slot])
+            self.spec_stats["round_tokens"] += n
             # Cache rows [t0, t0+n) are this slot's real history now, even
             # if EOS/max_new truncates the *emitted* tokens below (the slot
             # is freed in that case, so the extra rows never matter).

@@ -411,6 +411,7 @@ class InferenceEngine:
         max_new_tokens: int,
         draft_k: int = 7,
         eos_token_id: Optional[int] = None,
+        return_stats: bool = False,
     ):
         """Greedy generation via sparse-draft / exact-verify speculation.
 
@@ -442,6 +443,7 @@ class InferenceEngine:
                 )
             )
         spec_fn = self._spec_jit[draft_k]
+        stats = {"rounds": 0, "round_tokens": 0, "plain_steps": 0}
         while len(out) < max_new_tokens:
             if eos_token_id is not None and out[-1] == eos_token_id:
                 break
@@ -458,6 +460,7 @@ class InferenceEngine:
                     out.extend(int(x) for x in jax.device_get(toks[0]))
                     tok = toks[:, -1]
                     pos = pos + capacity
+                    stats["plain_steps"] += capacity
                 cache = self.refactorize(cache)
                 continue
             exact, n_out, tok, cache = spec_fn(
@@ -468,9 +471,17 @@ class InferenceEngine:
             n = int(jax.device_get(n_out[0]))
             out.extend(int(x) for x in jax.device_get(exact[0])[:n])
             pos = pos + n
+            stats["rounds"] += 1
+            stats["round_tokens"] += n
         out = out[:max_new_tokens]
         if eos_token_id is not None and eos_token_id in out:
             out = out[: out.index(eos_token_id) + 1]
         import numpy as np
 
-        return np.asarray(out, np.int32)[None, :]
+        result = np.asarray(out, np.int32)[None, :]
+        if return_stats:
+            stats["tokens_per_round"] = (
+                stats["round_tokens"] / stats["rounds"] if stats["rounds"] else 0.0
+            )
+            return result, stats
+        return result
