@@ -71,7 +71,20 @@ def build(cfg_kind: str, ctx: int, layers: int, tail: int):
     return cfg, xkv, params, prompt
 
 
-def measure_decode(eng, prompt, batch: int, steps: int) -> float:
+def prep_cache(eng, prompt, batch: int):
+    """Prefill once and tile the cache across ``batch`` decode slots."""
+    logits, cache = eng.prefill(prompt)
+    jax.block_until_ready(logits)
+    first1 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)  # (1,)
+    if batch > 1:
+        cache = cache.tile_batch(batch)
+    jax.block_until_ready(cache)
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    return cache, first1, pos
+
+
+def measure_decode(eng, prompt, batch: int, steps: int,
+                   prepped=None) -> float:
     """Steady-state decode tokens/s via paired-length measurement.
 
     Two quirks of this TPU tunnel demand care: (1) identical
@@ -80,15 +93,9 @@ def measure_decode(eng, prompt, batch: int, steps: int) -> float:
     fixed dispatch overhead, so we time n-step and 2n-step runs and use the
     difference — fixed overhead cancels, leaving pure per-step time.
     """
-    logits, cache = eng.prefill(prompt)
-    jax.block_until_ready(logits)
-    first1 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)  # (1,)
-    if batch > 1:
-        cache = cache.tile_batch(batch)
-    jax.block_until_ready(cache)
+    cache, first1, pos = prepped or prep_cache(eng, prompt, batch)
     # Distinct token per slot AND per timed run (tunnel memoization).
     first = (first1[0] + jnp.arange(batch, dtype=jnp.int32)) % eng.cfg.vocab_size
-    pos = jnp.asarray(prompt.shape[1], jnp.int32)
     vocab = eng.cfg.vocab_size
 
     cos_sin = eng._prefill_cos_sin(cache.prefill_len)
@@ -122,6 +129,51 @@ def measure_decode(eng, prompt, batch: int, steps: int) -> float:
     return batch / per_step
 
 
+def measure_verify(eng, cache, first1, pos, batch: int, ql: int,
+                   steps: int) -> float:
+    """Exact multi-token verify throughput (positions/s): the speculative
+    ceiling. Each step runs ONE exact decode pass over ql positions per
+    slot — the ql*hq query rows share one factor reconstruction and fill
+    MXU row tiles a single decode token cannot (docs/DESIGN.md). Paired
+    n/2n timing like measure_decode."""
+    vocab = eng.cfg.vocab_size
+    cos_sin = eng._prefill_cos_sin(cache.prefill_len)
+
+    def make_fn(n):
+        def fn(c, params, tb, p, cs):
+            def body(carry, _):
+                tk, tv, tl, blk, pp = carry
+                sc = c.replace(tail_k=tk, tail_v=tv, tail_len=tl)
+                lg, sc = eng._model.decode_step(
+                    params, eng.cfg, eng.xkv, sc, blk, pp, cs,
+                    attention_impl=eng.attention_impl)
+                nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32) % vocab
+                return (sc.tail_k, sc.tail_v, sc.tail_len, nxt, pp + ql), nxt[:, 0]
+
+            init = (c.tail_k, c.tail_v, c.tail_len, tb, p)
+            _, toks = jax.lax.scan(body, init, None, length=n)
+            return toks
+
+        return jax.jit(fn)
+
+    fn1, fn2 = make_fn(steps), make_fn(2 * steps)
+    base = (first1[0] + jnp.arange(batch * ql, dtype=jnp.int32)).reshape(
+        batch, ql)
+
+    def run(fn, off):
+        tb = (base + off) % vocab
+        t0 = time.perf_counter()
+        jax.device_get(fn(cache, eng.params, tb, pos, cos_sin))
+        return time.perf_counter() - t0
+
+    run(fn1, 1)
+    run(fn2, 2)
+    t1 = min(run(fn1, 3), run(fn1, 5))
+    t2 = min(run(fn2, 4), run(fn2, 6))
+    per_step = max((t2 - t1) / steps, 1e-9)
+    return batch * ql / per_step
+
+
 def measure_prefill(eng, ctx: int, vocab: int) -> float:
     """Wall seconds for one ctx-token prefill (+ SVD compression when the
     engine is factored). Single-shot with a distinct prompt after a warmup
@@ -140,7 +192,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="tiny model smoke run")
     ap.add_argument("--ctx", type=int, default=None)
     ap.add_argument("--layers", type=int, default=8)
-    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--matched", action="store_true",
                     help="same batch for both modes (kernel comparison) "
                     "instead of best-batch-per-mode serving throughput")
@@ -162,6 +214,10 @@ def main():
     ap.add_argument("--no-sparse-extra", action="store_true",
                     help="skip the supplementary sparse-decode measurement "
                     "in the default headline run")
+    ap.add_argument("--verify-ql", type=int, default=8,
+                    help="positions per exact multi-token verify step in "
+                    "the supplementary speculative-ceiling measurement "
+                    "(0 disables)")
     args = ap.parse_args()
 
     from xkv_tpu.engine import InferenceEngine
@@ -170,7 +226,13 @@ def main():
     # Default = the north-star context (BASELINE.md: 64K, 8x compression).
     ctx = args.ctx or (1024 if args.quick else 65536)
     steps = 8 if args.quick else args.steps
-    tail = steps + 8
+    vsteps = 4  # chained verify steps in the speculative-ceiling extra
+    want_verify = args.verify_ql > 0 and not (args.quick or args.matched
+                                              or args.only)
+    # One tail serves both measurements: steps single-token rows or
+    # vsteps verify blocks of verify_ql rows (a few extra masked tail rows
+    # are noise next to the 64K factored segment).
+    tail = max(steps, vsteps * args.verify_ql if want_verify else 0) + 8
 
     if args.attention_impl is None:
         attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -195,7 +257,7 @@ def main():
     cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail)
 
     factor_dtype = "int8" if args.factor_dtype == "int8" else jnp.bfloat16
-    tps_fact = tps_none = None
+    tps_fact = tps_none = tps_verify = None
     prefill_fact_s = prefill_none_s = None
     want_prefill = not (args.quick or args.matched)
     if args.only in (None, "factored"):
@@ -205,7 +267,15 @@ def main():
             factor_dtype=factor_dtype, prefill_logits="last",
             sparse_topk=args.sparse, sparse_block=args.sparse_block,
         )
-        tps_fact = measure_decode(eng_fact, prompt, b_fact, steps)
+        prepped = prep_cache(eng_fact, prompt, b_fact)
+        tps_fact = measure_decode(eng_fact, prompt, b_fact, steps,
+                                  prepped=prepped)
+        if want_verify:
+            tps_verify = measure_verify(
+                eng_fact, prepped[0], prepped[1], prepped[2], b_fact,
+                args.verify_ql, vsteps,
+            )
+        del prepped
         if want_prefill and args.only is None:
             prefill_fact_s = measure_prefill(eng_fact, ctx, cfg.vocab_size)
         del eng_fact
@@ -242,6 +312,14 @@ def main():
         # Supplementary TTFT: prefill + SVD compression vs dense prefill.
         record["prefill_compress_s"] = round(prefill_fact_s, 3)
         record["prefill_dense_s"] = round(prefill_none_s, 3)
+    if want_verify and tps_verify is not None:
+        # Supplementary speculative ceiling: exact multi-token verify
+        # positions/s (ql query rows share one factor reconstruction).
+        # Speculative serving at acceptance a emits ~a*(ql-1)+1 exact
+        # tokens per round; this is the a=1 bound of the verify side.
+        record["verify_mt_positions_per_s"] = round(tps_verify, 2)
+        record["verify_mt_vs_baseline"] = round(tps_verify / tps_none, 3)
+        record["verify_ql"] = args.verify_ql
     # Supplementary: opt-in approximate sparse top-k decode at the same
     # batch (headline value/vs_baseline stay EXACT factored attention).
     if not (args.quick or args.matched or args.no_sparse_extra):
