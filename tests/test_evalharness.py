@@ -186,6 +186,16 @@ def test_evaluator_with_echo_engine(tmp_path):
     assert final["ruler/niah_single_1"]["score"] == 1.0
 
 
+def test_peak_memory_helper():
+    """peak_memory_bytes returns an int on allocator-backed devices and
+    None where the backend has no stats — and the evaluator summary only
+    carries the field when it is real."""
+    from xkv_tpu.utils.profiling import peak_memory_bytes
+
+    mem = peak_memory_bytes()
+    assert mem is None or (isinstance(mem, int) and mem > 0)
+
+
 def test_evaluator_markdown(tmp_path):
     from xkv_tpu.evalharness.evaluator import Evaluator
 

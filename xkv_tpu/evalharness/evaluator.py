@@ -20,6 +20,8 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
+from xkv_tpu.utils.profiling import peak_memory_bytes
+
 
 class Evaluator:
     def __init__(
@@ -68,9 +70,12 @@ class Evaluator:
                     f.write(json.dumps(rec) + "\n")
             if verbose:
                 avg = sum(scores) / len(scores)
+                mem = peak_memory_bytes()
+                mem_s = f" peak_mem={mem / 2**30:.2f}GiB" if mem else ""
                 print(
                     f"[rank {self.rank}] {dataset.dataset_name} "
-                    f"{idx + 1}/{len(dataset)} score={score:.3f} avg={avg:.3f}",
+                    f"{idx + 1}/{len(dataset)} score={score:.3f} avg={avg:.3f}"
+                    f"{mem_s}",
                     flush=True,
                 )
 
@@ -81,6 +86,10 @@ class Evaluator:
             "score": float(np.mean(scores)) if scores else 0.0,
             "elapsed_s": elapsed,
         }
+        peak = peak_memory_bytes()
+        if peak:
+            # Reference tracks max GPU memory per sample (evaluator.py:79-80).
+            summary["peak_memory_gib"] = round(peak / 2**30, 3)
         self.results.append(summary)
         return summary
 

@@ -29,6 +29,24 @@ def trace(log_dir: str):
         yield
 
 
+def peak_memory_bytes(device=None) -> Optional[int]:
+    """Peak device-memory high-water mark in bytes, or None when the
+    backend does not expose allocator stats (CPU).
+
+    TPU-native equivalent of the reference's per-sample
+    ``torch.cuda.max_memory_allocated()`` display
+    (`evaluate/evaluator.py:79-80`).
+    """
+    dev = device or jax.local_devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+
+
 class PhaseTimer:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
