@@ -35,6 +35,44 @@ import jax.numpy as jnp
 def build(cfg_kind: str, ctx: int, layers: int, tail: int):
     from xkv_tpu.configs import generate_consecutive_xkv_config
     from xkv_tpu.models.config import ModelConfig
+
+    if cfg_kind == "mla":
+        # DeepSeek-V2-Lite attention geometry (hidden 2048, 16 heads,
+        # kv_lora_rank 512, rope 64 / nope 128 / v 128), truncated to
+        # ``layers`` and with a dense FFN in place of Lite's MoE — the
+        # measurement targets the MLA cache path (reference
+        # deepseek_v2.py:186-227), not expert routing. merge_k only over
+        # the latent (merge_v is rejected for MLA, reference :222-223):
+        # group=4 @ rank 512 -> 4x latent compression (~3.5x incl. k_pe,
+        # the reference's "3x on MLA" headline regime, README.md:121-136).
+        from xkv_tpu.models.deepseek import init_params
+
+        cfg = ModelConfig(
+            vocab_size=32000,
+            hidden_size=2048,
+            intermediate_size=8192,
+            num_layers=layers,
+            num_q_heads=16,
+            num_kv_heads=16,
+            head_dim=128,
+            rope_theta=10000.0,
+            model_type="deepseek_v2",
+            q_lora_rank=None,
+            kv_lora_rank=512,
+            qk_rope_head_dim=64,
+            qk_nope_head_dim=128,
+            v_head_dim=128,
+        )
+        xkv = generate_consecutive_xkv_config(
+            num_layers=cfg.num_layers, end_layer=-1, group_size=4,
+            rank_k=512, rank_v=None, merge_value=False,
+        )
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(1), (1, ctx), 0, cfg.vocab_size
+        )
+        return cfg, xkv, params, prompt
+
     from xkv_tpu.models.llama import init_params
 
     if cfg_kind == "8b":
@@ -214,6 +252,10 @@ def main():
     ap.add_argument("--no-sparse-extra", action="store_true",
                     help="skip the supplementary sparse-decode measurement "
                     "in the default headline run")
+    ap.add_argument("--mla", action="store_true",
+                    help="DeepSeek-V2 MLA geometry: factored-latent vs "
+                    "dense-latent decode (merge_k only; prints its own "
+                    "JSON line, separate from the default llama headline)")
     ap.add_argument("--verify-ql", type=int, default=8,
                     help="positions per exact multi-token verify step in "
                     "the supplementary speculative-ceiling measurement "
@@ -222,13 +264,13 @@ def main():
 
     from xkv_tpu.engine import InferenceEngine
 
-    kind = "quick" if args.quick else "8b"
+    kind = "quick" if args.quick else ("mla" if args.mla else "8b")
     # Default = the north-star context (BASELINE.md: 64K, 8x compression).
     ctx = args.ctx or (1024 if args.quick else 65536)
     steps = 8 if args.quick else args.steps
     vsteps = 4  # chained verify steps in the speculative-ceiling extra
     want_verify = args.verify_ql > 0 and not (args.quick or args.matched
-                                              or args.only)
+                                              or args.only or args.mla)
     # One tail serves both measurements: steps single-token rows or
     # vsteps verify blocks of verify_ql rows (a few extra masked tail rows
     # are noise next to the 64K factored segment).
@@ -248,6 +290,12 @@ def main():
     if args.quick:
         b_fact = args.batch_factored or 8
         b_dense = args.batch_dense or 8
+    elif args.mla:
+        # MLA latent cache is compact even uncompressed (576 elems/token
+        # vs 2048 for GQA): dense tops out ~batch 16 @64K on 16 GB; the
+        # ~3x factored cache runs 48.
+        b_fact = args.batch_factored or max(8, 96 * 32768 // ctx)
+        b_dense = args.batch_dense or max(1, 32 * 32768 // ctx)
     else:
         b_fact = args.batch_factored or max(8, 96 * 32768 // ctx)
         b_dense = args.batch_dense or max(1, 8 * 32768 // ctx)
@@ -300,8 +348,10 @@ def main():
         f"matched batch {b_fact}" if args.matched
         else f"serving, batch {b_fact} vs dense max {b_dense}"
     )
+    compress_desc = "~3x MLA latent compression" if args.mla \
+        else "8x KV compression"
     record = {
-        "metric": f"decode tokens/s/chip @ {ctx} ctx, 8x KV compression "
+        "metric": f"decode tokens/s/chip @ {ctx} ctx, {compress_desc} "
         f"({kind} geometry, {cfg.num_layers} layers, {attention_impl}, "
         f"{args.factor_dtype} factors, {mode_desc})",
         "value": round(tps_fact, 2),
@@ -322,7 +372,7 @@ def main():
         record["verify_ql"] = args.verify_ql
     # Supplementary: opt-in approximate sparse top-k decode at the same
     # batch (headline value/vs_baseline stay EXACT factored attention).
-    if not (args.quick or args.matched or args.no_sparse_extra):
+    if not (args.quick or args.matched or args.no_sparse_extra or args.mla):
         eng_sp = InferenceEngine(
             params, cfg, xkv=xkv, mode="factored", tail_max=tail,
             attention_impl=attention_impl, donate_cache=False,

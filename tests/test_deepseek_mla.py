@@ -112,6 +112,19 @@ def test_lossy_latent_compression_runs(params, prompt):
     assert np.asarray(out).shape == (2, 4)
 
 
+def test_int8_factored_decode_close_to_bf16(params, prompt):
+    """Single-stream MLA decode with int8 latent factors dequantizes with
+    the per-column scale (the same path decode_step_batched uses): at full
+    rank the int8 engine's tokens must match the fp32-factor engine's."""
+    xkv = latent_xkv(group_size=2, rank=2 * CFG.kv_lora_rank)
+    eng_q = make_engine(params, "factored", xkv, factor_dtype="int8")
+    eng_f = make_engine(params, "factored", xkv)
+    out_q = np.asarray(eng_q.generate(prompt, max_new_tokens=5))
+    out_f = np.asarray(eng_f.generate(prompt, max_new_tokens=5))
+    # int8 quantization is lossy; on this tiny model greedy tokens agree.
+    np.testing.assert_array_equal(out_q, out_f)
+
+
 def test_merge_value_rejected(params):
     xkv = generate_consecutive_xkv_config(
         num_layers=CFG.num_layers, end_layer=-1, group_size=2,

@@ -385,8 +385,19 @@ def decode_step(
                 vt_l = vt_l[:, :draft_rank]
             # Rank-space is blocked by the rms_norm on the latent (nonlinear
             # per token); reconstruct the latent rows, normalize, contract.
-            latent_p = jnp.einsum("bsr,brl->bsl", k_us, vt_l,
-                                  preferred_element_type=jnp.float32)
+            if gf.k_scale is not None:
+                from xkv_tpu.compress.quant import (
+                    QuantizedKFactors,
+                    dequantize_k,
+                )
+
+                sc_l = jax.lax.slice_in_dim(
+                    gf.k_scale, gpos * width, (gpos + 1) * width, axis=2
+                )
+                latent_p = dequantize_k(QuantizedKFactors(k_us, vt_l, sc_l))
+            else:
+                latent_p = jnp.einsum("bsr,brl->bsl", k_us, vt_l,
+                                      preferred_element_type=jnp.float32)
             latent_p = norm_latent(latent_p)
         else:
             latent_p = norm_latent(cache.dense_k[li][:, 0])  # (b, s_p, lora)
