@@ -264,6 +264,8 @@ def main():
 
     from xkv_tpu.engine import InferenceEngine
 
+    if args.quick and args.mla:
+        ap.error("--quick and --mla are mutually exclusive (ADVICE r1)")
     kind = "quick" if args.quick else ("mla" if args.mla else "8b")
     # Default = the north-star context (BASELINE.md: 64K, 8x compression).
     ctx = args.ctx or (1024 if args.quick else 65536)
@@ -276,7 +278,13 @@ def main():
     # are noise next to the 64K factored segment).
     tail = max(steps, vsteps * args.verify_ql if want_verify else 0) + 8
 
-    if args.attention_impl is None:
+    if args.mla:
+        # MLA prefill/decode run the absorbed XLA path regardless of the
+        # flag (engine._prefill_impl does the same for the mesh case);
+        # force it here so the metric string doesn't mislabel the kernel
+        # (ADVICE r1).
+        attention_impl = "xla"
+    elif args.attention_impl is None:
         attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     else:
         attention_impl = args.attention_impl
@@ -348,7 +356,7 @@ def main():
         f"matched batch {b_fact}" if args.matched
         else f"serving, batch {b_fact} vs dense max {b_dense}"
     )
-    compress_desc = "~3x MLA latent compression" if args.mla \
+    compress_desc = "~3x MLA latent compression" if kind == "mla" \
         else "8x KV compression"
     record = {
         "metric": f"decode tokens/s/chip @ {ctx} ctx, {compress_desc} "

@@ -121,8 +121,11 @@ def test_int8_factored_decode_close_to_bf16(params, prompt):
     eng_f = make_engine(params, "factored", xkv)
     out_q = np.asarray(eng_q.generate(prompt, max_new_tokens=5))
     out_f = np.asarray(eng_f.generate(prompt, max_new_tokens=5))
-    # int8 quantization is lossy; on this tiny model greedy tokens agree.
-    np.testing.assert_array_equal(out_q, out_f)
+    # int8 quantization is lossy: exact greedy-token equality would be
+    # brittle across JAX versions/backends (ADVICE r1) — assert a high
+    # agreement rate instead (empirically 100% on this tiny model).
+    agreement = float(np.mean(out_q == out_f))
+    assert agreement >= 0.8, (out_q, out_f)
 
 
 def test_merge_value_rejected(params):

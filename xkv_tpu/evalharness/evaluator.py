@@ -89,7 +89,11 @@ class Evaluator:
         peak = peak_memory_bytes()
         if peak:
             # Reference tracks max GPU memory per sample (evaluator.py:79-80).
-            summary["peak_memory_gib"] = round(peak / 2**30, 3)
+            # NOTE: like the reference, the allocator stat is never reset, so
+            # this is the PROCESS-lifetime high-water mark at the time this
+            # dataset finished — not a per-dataset peak (ADVICE r1). The
+            # field name says so.
+            summary["peak_memory_gib_process"] = round(peak / 2**30, 3)
         self.results.append(summary)
         return summary
 

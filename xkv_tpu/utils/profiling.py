@@ -44,7 +44,9 @@ def peak_memory_bytes(device=None) -> Optional[int]:
         return None
     if not stats:
         return None
-    return stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+    # Strictly the peak stat: falling back to bytes_in_use would report
+    # *current* usage under the "peak" name (ADVICE r1).
+    return stats.get("peak_bytes_in_use")
 
 
 class PhaseTimer:
