@@ -1,0 +1,101 @@
+"""Unit tests for int8 / mixed int8+int4 factor quantization
+(`xkv_tpu/compress/quant.py`) — the storage format behind the factored
+decode kernels. Reference parity target is the bf16 factored cache; these
+pin the quantization error budget that the engine-level agreement tests
+ride on."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from xkv_tpu.compress.quant import (
+    dequantize_k,
+    dequantize_k_mixed,
+    dequantize_v,
+    quantize_k_factors,
+    quantize_k_factors_mixed,
+    quantize_v_factors,
+)
+
+
+@pytest.fixture
+def factors():
+    """Random factors with an SVD-like decaying spectrum on the rank dim."""
+    rng = np.random.default_rng(1)
+    b, s, r, m = 2, 96, 32, 64
+    sigma = np.exp(-np.arange(r) / 10.0).astype(np.float32)
+    us = rng.standard_normal((b, s, r)).astype(np.float32) * sigma
+    vt = rng.standard_normal((b, r, m)).astype(np.float32) * 0.05
+    return jnp.asarray(us), jnp.asarray(vt)
+
+
+def _rel_err(approx, exact):
+    return float(
+        np.linalg.norm(np.asarray(approx) - np.asarray(exact))
+        / np.linalg.norm(np.asarray(exact))
+    )
+
+
+def test_int8_k_roundtrip_error(factors):
+    us, vt = factors
+    exact = np.einsum("bsr,brm->bsm", np.asarray(us), np.asarray(vt))
+    qf = quantize_k_factors(us, vt)
+    assert qf.us_q.dtype == jnp.int8 and qf.vt_q.dtype == jnp.int8
+    assert _rel_err(dequantize_k(qf), exact) < 0.02
+
+
+def test_v_roundtrip_error(factors):
+    us, vt = factors
+    exact = np.einsum("bsr,brm->bsm", np.asarray(us), np.asarray(vt))
+    qf = quantize_v_factors(us, vt)
+    # v keeps vt in bf16; error budget dominated by int8 us + bf16 vt
+    assert _rel_err(dequantize_v(qf), exact) < 0.02
+
+
+def test_mixed_k_dtypes_and_shapes(factors):
+    us, vt = factors
+    r_hi = 8
+    qf = quantize_k_factors_mixed(us, vt, r_hi=r_hi)
+    assert qf.us8_q.shape[-1] == r_hi and qf.us8_q.dtype == jnp.int8
+    assert qf.us4_q.shape[-1] == us.shape[-1] - r_hi
+    assert qf.us4_q.dtype == jnp.int4 and qf.vt4_q.dtype == jnp.int4
+    assert qf.out_scale.shape == (2, 1, vt.shape[-1])
+    assert qf.lo_ratio.shape == (2, 1, vt.shape[-1])
+
+
+def test_mixed_k_error_between_int8_and_int4(factors):
+    """Mixed top-int8/tail-int4 error lands between all-int8 and a pure
+    int4 tail-everything baseline, and stays small in absolute terms
+    because the int4 ranks carry the small singular values."""
+    us, vt = factors
+    exact = np.einsum("bsr,brm->bsm", np.asarray(us), np.asarray(vt))
+    e8 = _rel_err(dequantize_k(quantize_k_factors(us, vt)), exact)
+    e_mixed = _rel_err(
+        dequantize_k_mixed(quantize_k_factors_mixed(us, vt, r_hi=8)), exact
+    )
+    e4 = _rel_err(
+        dequantize_k_mixed(quantize_k_factors_mixed(us, vt, r_hi=0)), exact
+    )
+    assert e8 <= e_mixed <= e4 * 1.05  # tiny slack for rounding luck
+    # this fixture's spectrum decays slowly (exp(-r/10) over 32 ranks), so
+    # the int4 tail still carries real mass — real xKV factors decay much
+    # faster; the engine-level agreement gates are the accuracy arbiter
+    assert e_mixed < 0.09
+    # all-int4 (r_hi=0) is the worst case: dominant ranks at 4 bits
+    assert e4 < 0.25
+
+
+def test_mixed_k_r_hi_full_matches_int8(factors):
+    """r_hi == r degenerates to the plain int8 path (empty int4 tail)."""
+    us, vt = factors
+    r = us.shape[-1]
+    qf = quantize_k_factors_mixed(us, vt, r_hi=r)
+    q8 = quantize_k_factors(us, vt)
+    np.testing.assert_array_equal(np.asarray(qf.us8_q), np.asarray(q8.us_q))
+    assert qf.us4_q.shape[-1] == 0
+    np.testing.assert_allclose(
+        np.asarray(dequantize_k_mixed(qf)),
+        np.asarray(dequantize_k(q8)),
+        rtol=1e-5, atol=1e-5,
+    )

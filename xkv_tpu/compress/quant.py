@@ -42,7 +42,7 @@ class QuantizedVFactors(NamedTuple):
 
 
 def _per_col_scale(x: jax.Array, axis: int) -> jax.Array:
-    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True, initial=0.0)
     return jnp.maximum(amax, 1e-8) / 127.0
 
 
@@ -71,6 +71,75 @@ def dequantize_k(qf: QuantizedKFactors) -> jax.Array:
         preferred_element_type=jnp.int32,
     )
     return prod.astype(jnp.float32) * qf.out_scale
+
+
+class QuantizedKFactorsMixed(NamedTuple):
+    """SVDq-style mixed-precision K factors: the top ``r_hi`` ranks (largest
+    singular values — svd.py returns factors in descending-sigma order) keep
+    int8 coordinates, the tail ranks drop to int4 (per-rank scales, same
+    folding as the int8 path). Reconstruction:
+
+        us @ vt = (us8_q @ vt8_q) * out_scale
+                + (us4_q @ vt4_q) * (out_scale * lo_ratio)
+
+    so the kernel runs one int8 and one int4 MXU GEMM and folds the int4
+    product in with a single per-column multiply (``lo_ratio`` =
+    sv4 / sv8). int4 runs at 2x the int8 MXU rate on v5e — the decode
+    kernel's dominant reconstruction GEMM is what this buys down.
+    """
+
+    us8_q: jax.Array  # (b, s, r_hi) int8
+    vt8_q: jax.Array  # (b, r_hi, m) int8
+    us4_q: jax.Array  # (b, s, r_lo) int4
+    vt4_q: jax.Array  # (b, r_lo, m) int4
+    out_scale: jax.Array  # (b, 1, m) fp32 — int8 part's column scale
+    lo_ratio: jax.Array  # (b, 1, m) fp32 — int4 column scale / int8's
+
+
+def _q4(x: jax.Array, scale: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.round(x / scale), -7, 7).astype(jnp.int4)
+
+
+def _per_col_scale4(x: jax.Array, axis: int) -> jax.Array:
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True, initial=0.0)
+    return jnp.maximum(amax, 1e-8) / 7.0
+
+
+def quantize_k_factors_mixed(
+    us: jax.Array, vt: jax.Array, r_hi: int
+) -> QuantizedKFactorsMixed:
+    """us (b, s, r), vt (b, r, m) fp32, ranks ordered by descending singular
+    value -> int8 top-``r_hi`` + int4 tail factors with folded scales."""
+    us = us.astype(jnp.float32)
+    vt = vt.astype(jnp.float32)
+    hi = quantize_k_factors(us[:, :, :r_hi], vt[:, :r_hi, :])
+
+    us_lo = us[:, :, r_hi:]
+    vt_lo = vt[:, r_hi:, :]
+    su = _per_col_scale4(us_lo, axis=1)  # (b, 1, r_lo)
+    us4_q = _q4(us_lo, su)
+    vt_folded = jnp.swapaxes(su, 1, 2) * vt_lo
+    sv4 = _per_col_scale4(vt_folded, axis=1)  # (b, 1, m)
+    vt4_q = _q4(vt_folded, sv4)
+    return QuantizedKFactorsMixed(
+        us8_q=hi.us_q, vt8_q=hi.vt_q, us4_q=us4_q, vt4_q=vt4_q,
+        out_scale=hi.out_scale, lo_ratio=sv4 / hi.out_scale,
+    )
+
+
+def dequantize_k_mixed(qf: QuantizedKFactorsMixed) -> jax.Array:
+    """(b, s, m) fp32 reconstruction — XLA fallback / tests."""
+    hi = jnp.einsum(
+        "bsr,brm->bsm",
+        qf.us8_q.astype(jnp.int32), qf.vt8_q.astype(jnp.int32),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    lo = jnp.einsum(
+        "bsr,brm->bsm",
+        qf.us4_q.astype(jnp.int32), qf.vt4_q.astype(jnp.int32),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    return (hi + lo * qf.lo_ratio) * qf.out_scale
 
 
 def quantize_v_factors(us: jax.Array, vt: jax.Array) -> QuantizedVFactors:
