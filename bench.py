@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 
-def build(cfg_kind: str, ctx: int, layers: int, tail: int):
+def build(cfg_kind: str, ctx: int, layers: int, tail: int,
+          rope_mode: str = "post"):
     from xkv_tpu.configs import generate_consecutive_xkv_config
     from xkv_tpu.models.config import ModelConfig
 
@@ -103,6 +104,7 @@ def build(cfg_kind: str, ctx: int, layers: int, tail: int):
     xkv = generate_consecutive_xkv_config(
         num_layers=cfg.num_layers, end_layer=-1, group_size=group,
         rank_k=rank_k, rank_v=rank_v,
+        extra_kwargs={"rope_mode": rope_mode},
     )
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     prompt = jax.random.randint(jax.random.PRNGKey(1), (1, ctx), 0, cfg.vocab_size)
@@ -256,6 +258,13 @@ def main():
                     help="DeepSeek-V2 MLA geometry: factored-latent vs "
                     "dense-latent decode (merge_k only; prints its own "
                     "JSON line, separate from the default llama headline)")
+    ap.add_argument("--rope-mode", default="post", choices=["pre", "post"],
+                    help="factored-key domain: 'post' (rank-space decode, "
+                    "the TPU-native flagship — docs/ROPE_MODES.md) or 'pre' "
+                    "(reference pre-RoPE semantics, reconstruction kernel)")
+    ap.add_argument("--no-pre-extra", action="store_true",
+                    help="skip the supplementary reference-semantics "
+                    "(rope=pre) measurement in the default headline run")
     ap.add_argument("--verify-ql", type=int, default=8,
                     help="positions per exact multi-token verify step in "
                     "the supplementary speculative-ceiling measurement "
@@ -310,7 +319,8 @@ def main():
     if args.matched:
         b_fact = b_dense = args.batch or 1
 
-    cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail)
+    cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail,
+                                     rope_mode=args.rope_mode)
 
     factor_dtype = "int8" if args.factor_dtype == "int8" else jnp.bfloat16
     tps_fact = tps_none = tps_verify = None
@@ -358,10 +368,11 @@ def main():
     )
     compress_desc = "~3x MLA latent compression" if kind == "mla" \
         else "8x KV compression"
+    rope_desc = "" if kind == "mla" else f"rope={args.rope_mode}, "
     record = {
         "metric": f"decode tokens/s/chip @ {ctx} ctx, {compress_desc} "
         f"({kind} geometry, {cfg.num_layers} layers, {attention_impl}, "
-        f"{args.factor_dtype} factors, {mode_desc})",
+        f"{args.factor_dtype} factors, {rope_desc}{mode_desc})",
         "value": round(tps_fact, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps_fact / tps_none, 3),
@@ -390,6 +401,24 @@ def main():
         tps_sp = measure_decode(eng_sp, prompt, b_fact, steps)
         record["sparse_topk_tokens_per_s"] = round(tps_sp, 2)
         record["sparse_topk_vs_baseline"] = round(tps_sp / tps_none, 3)
+    # Supplementary: the reference-semantics pre-RoPE scheme at the same
+    # serving batch (reconstruction kernel), when the headline is post.
+    if (args.rope_mode == "post" and not args.no_pre_extra
+            and not (args.quick or args.matched or args.only or args.mla)):
+        from xkv_tpu.configs import generate_consecutive_xkv_config
+
+        xkv_pre = generate_consecutive_xkv_config(
+            num_layers=cfg.num_layers, end_layer=-1, group_size=4,
+            rank_k=512, rank_v=768, extra_kwargs={"rope_mode": "pre"},
+        )
+        eng_pre = InferenceEngine(
+            params, cfg, xkv=xkv_pre, mode="factored", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            factor_dtype=factor_dtype, prefill_logits="last",
+        )
+        tps_pre = measure_decode(eng_pre, prompt, b_fact, steps)
+        record["rope_pre_tokens_per_s"] = round(tps_pre, 2)
+        record["rope_pre_vs_baseline"] = round(tps_pre / tps_none, 3)
     print(json.dumps(record))
 
 

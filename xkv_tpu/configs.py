@@ -214,6 +214,33 @@ class XKVConfig:
         return int(self.extra_kwargs.get("svd_seed", 0))
 
     @property
+    def rope_mode(self) -> str:
+        """Domain of the factored keys: "pre" (default) or "post".
+
+        "pre": reference semantics — the group SVD runs over PRE-RoPE keys
+        and rotation is applied after reconstruction at read time
+        (reference `xKV/attn_patch/llama.py:38-53`,
+        `fake_layer_merge_dynamic_cache.py:142-152`).
+
+        "post": TPU decode-optimal scheme — keys are rotated at their
+        prefill positions BEFORE the cross-layer SVD, so the factors store
+        the post-RoPE keys directly and decode attention never
+        reconstructs: scores = (q_rot . V^T) . US^T run entirely in rank
+        space (ops/pallas/rankspace_attention.py). ~10x fewer decode FLOPs
+        than the pre-RoPE kernel's per-step reconstruction; the accuracy
+        trade (rotation raises the stacked matrix's effective rank) is
+        measured by tests/test_rope_post.py's induction-retrieval gate.
+
+        MLA latents are RoPE-free; the mode has no effect there.
+        """
+        mode = self.extra_kwargs.get("rope_mode", "pre")
+        if mode not in ("pre", "post"):
+            raise ValueError(f"rope_mode must be 'pre' or 'post', got {mode!r}")
+        if mode == "post" and self.layer_merge_impl != "svd":
+            raise ValueError("rope_mode='post' applies to the svd scheme only")
+        return mode
+
+    @property
     def slerp_compact(self) -> bool:
         """Store slerp-merged layers compactly (shared direction + norms +
         exception rows) instead of dense — the memory saving the reference's

@@ -155,6 +155,12 @@ def build_cache(
             return k_pre.astype(cache_dtype)
         return apply_rope(k_pre, cos_p[None], sin_p[None]).astype(cache_dtype)
 
+    # rope_mode="post": rotate keys at their prefill positions BEFORE the
+    # group SVD — the factors then store post-RoPE keys and decode runs in
+    # rank space with no reconstruction (configs.py:rope_mode). Only
+    # meaningful for RoPE'd caches (MLA latents pass rope_dense_keys=False).
+    rope_post = xkv.rope_mode == "post" and rope_dense_keys
+
     for grp in xkv.layer_groups:
         layers = grp.layers
         covered.update(layers)
@@ -165,6 +171,8 @@ def build_cache(
             quantize = factor_dtype in ("int8", jnp.int8)
             gf_kwargs = {}
             if xkv.merge_key:
+                if rope_post:
+                    ks = [apply_rope(k, cos_p[None], sin_p[None]) for k in ks]
                 k_mat = _stack_group_matrix(ks)  # (b, s, g*hkv*hd) — fp32 in factorize
                 fac_k = factorize(k_mat, grp.rank_k, **svd_kw)
                 if fake:
@@ -172,7 +180,11 @@ def build_cache(
                         reconstruct(fac_k).astype(k_mat.dtype), len(layers), hkv
                     )
                     for l, kr in zip(layers, k_rec):
-                        dense_k[l] = rope_dense_k(kr)
+                        # Post mode: the reconstruction is already rotated.
+                        dense_k[l] = (
+                            kr.astype(cache_dtype) if rope_post
+                            else rope_dense_k(kr)
+                        )
                 elif quantize:
                     from xkv_tpu.compress.quant import quantize_k_factors
 
@@ -189,7 +201,8 @@ def build_cache(
                     # either way). Cast to cache_dtype: K-domain data.
                     cmin, cmax = chunk_bounds(
                         k_mat,
-                        cos_p if rope_dense_keys else None, sin_p,
+                        cos_p if rope_dense_keys and not rope_post else None,
+                        sin_p,
                         sparse_block, len(layers) * hkv,
                     )
                     gf_kwargs["k_cmin"] = cmin.astype(cache_dtype)
@@ -338,6 +351,9 @@ def refactorize_cache(
     s_p = cache.prefill_len
     t = cache.tail_max
     rope_keys = cfg.model_type != "deepseek_v2"
+    # Post mode: factors already hold post-RoPE keys — the tail (also
+    # post-RoPE) joins them directly, with no un-rotation.
+    rope_post = xkv.rope_mode == "post" and rope_keys
 
     if rope_keys:
         cos_t, sin_t = rope_cos_sin(
@@ -353,9 +369,9 @@ def refactorize_cache(
     quantized = any(g.k_scale is not None or g.v_scale is not None
                     for g in cache.groups)
 
-    def unrope(k):  # (b, hkv, t, hd) post-RoPE -> pre-RoPE
-        if not rope_keys:
-            return k  # MLA latent slot: never rotated
+    def unrope(k):  # (b, hkv, t, hd) post-RoPE -> the factors' key domain
+        if not rope_keys or rope_post:
+            return k  # MLA latent slot / post-RoPE factors: keep as stored
         return apply_rope(k, cos_t[None], -sin_t[None])
 
     new_groups = []
@@ -392,7 +408,7 @@ def refactorize_cache(
                 cos_f, sin_f = (
                     rope_cos_sin(jnp.arange(s_p + t), cfg.head_dim,
                                  cfg.rope_theta, cfg.rope_scaling)
-                    if rope_keys else (None, None)
+                    if rope_keys and not rope_post else (None, None)
                 )
                 cmin, cmax = chunk_bounds(
                     k_ext, cos_f, sin_f, block, len(layers) * cfg.num_kv_heads
@@ -518,6 +534,7 @@ def refactorize_slot_cache(
 
     t = cache.tail_max
     rope_keys = cfg.model_type != "deepseek_v2"
+    rope_post = xkv.rope_mode == "post" and rope_keys
     svd_kw = dict(
         method=xkv.svd_method,
         oversample=xkv.svd_oversample,
@@ -530,8 +547,8 @@ def refactorize_slot_cache(
             plen + jnp.arange(t), cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
         )
 
-    def unrope(k):  # (1, hkv, t, hd) post-RoPE -> pre-RoPE
-        if not rope_keys:
+    def unrope(k):  # (1, hkv, t, hd) post-RoPE -> the factors' key domain
+        if not rope_keys or rope_post:
             return k
         return apply_rope(k, cos_t[None], -sin_t[None])
 
@@ -585,7 +602,7 @@ def refactorize_slot_cache(
                 cos_f, sin_f = (
                     rope_cos_sin(jnp.arange(s_rows), cfg.head_dim,
                                  cfg.rope_theta, cfg.rope_scaling)
-                    if rope_keys else (None, None)
+                    if rope_keys and not rope_post else (None, None)
                 )
                 cmin, cmax = chunk_bounds(
                     k_ext, cos_f, sin_f, block,

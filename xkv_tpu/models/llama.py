@@ -31,6 +31,7 @@ from xkv_tpu.ops.attention import (
     factored_decode_attention_xla,
     merge_partials,
     mha_reference,
+    rankspace_decode_attention_xla,
     select_topk_chunks,
     sparse_factored_decode_attention_xla,
 )
@@ -256,6 +257,109 @@ def prefill_chunk(
 
 
 # ----------------------------------------------------------------- decode
+def _post_rope_factored_part(
+    q: jax.Array,  # (b, hq, ql, hd) POST-RoPE queries
+    gf,
+    gpos: int,
+    cfg: ModelConfig,
+    scale: float,
+    k_scale_slice: Optional[jax.Array],
+    sparse_ok: bool,
+    sparse_select: Optional[int],
+    sparse_block: int,
+    attention_impl: str,
+    pallas_ok: bool,
+    tp_ok: bool,
+    mesh,
+    lengths: Optional[jax.Array] = None,  # (b,) valid prefill lengths
+) -> PartialAttention:
+    """Attention over a POST-RoPE factored group (rope_mode="post").
+
+    The factors store rotated keys, so decode runs entirely in rank space —
+    scores = (q . vt^T) . us^T, values = ((P . v_us) * scale) . v_vt — with
+    no per-step reconstruction and no trig (configs.py:rope_mode). Pallas
+    fast path: ops/pallas/rankspace_attention.py; sparse top-k restricts
+    the walk to Quest-selected chunks.
+    """
+    hkv = cfg.num_kv_heads
+    hd = cfg.head_dim
+    vt_k = vt_layer_slice(gf.k_vt, gpos, hkv, hd)
+    vt_v = vt_layer_slice(gf.v_vt, gpos, hkv, hd)
+
+    if sparse_ok:
+        nc = gf.k_cmin.shape[1]
+        blk = sparse_block
+        assert nc == -(-gf.k_us.shape[1] // blk), (
+            "k_cmin chunk count does not match sparse_block")
+        cmin_sl = vt_layer_slice(gf.k_cmin, gpos, hkv, hd)
+        cmax_sl = vt_layer_slice(gf.k_cmax, gpos, hkv, hd)
+        n_sel = min(sparse_select, nc)
+        if attention_impl == "pallas" and pallas_ok and tp_ok:
+            from xkv_tpu.ops.pallas.rankspace_attention import (
+                sparse_rankspace_decode_attention_tp,
+            )
+
+            out, lse = sparse_rankspace_decode_attention_tp(
+                mesh, q, gf.k_us, vt_k, gf.v_us, vt_v, cmin_sl, cmax_sl,
+                lengths=lengths,
+                k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+                n_select=n_sel, scale=scale, num_kv_heads=hkv, block=blk,
+            )
+            return PartialAttention(out=out, lse=lse)
+        ids = select_topk_chunks(
+            q, cmin_sl, cmax_sl, n_select=n_sel, num_kv_heads=hkv,
+            valid_len=lengths, block=blk,
+        )
+        if attention_impl == "pallas" and pallas_ok and mesh is None:
+            from xkv_tpu.ops.pallas.rankspace_attention import (
+                sparse_rankspace_decode_attention,
+            )
+
+            out, lse = sparse_rankspace_decode_attention(
+                q, gf.k_us, vt_k, gf.v_us, vt_v, ids,
+                lengths=lengths,
+                k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+                scale=scale, num_kv_heads=hkv, block=blk,
+            )
+            return PartialAttention(out=out, lse=lse)
+        # XLA fallback: gather selected chunks, reconstruct only those rows
+        # (already rotated — pre_rotated skips the re-rope).
+        cos_d = jnp.zeros((gf.k_us.shape[1], hd), jnp.float32)
+        return sparse_factored_decode_attention_xla(
+            q, gf.k_us, vt_k, gf.v_us, vt_v, cos_d, cos_d, ids, scale, hkv,
+            block=blk, k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+            valid_len=lengths, pre_rotated=True,
+        )
+
+    if attention_impl == "pallas" and pallas_ok and tp_ok:
+        from xkv_tpu.ops.pallas.rankspace_attention import (
+            rankspace_decode_attention_tp,
+        )
+
+        out, lse = rankspace_decode_attention_tp(
+            mesh, q, gf.k_us, vt_k, gf.v_us, vt_v, lengths=lengths,
+            k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+            scale=scale, num_kv_heads=hkv,
+        )
+        return PartialAttention(out=out, lse=lse)
+    if attention_impl == "pallas" and pallas_ok and mesh is None:
+        from xkv_tpu.ops.pallas.rankspace_attention import (
+            rankspace_decode_attention,
+        )
+
+        out, lse = rankspace_decode_attention(
+            q, gf.k_us, vt_k, gf.v_us, vt_v, lengths=lengths,
+            k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+            scale=scale, num_kv_heads=hkv,
+        )
+        return PartialAttention(out=out, lse=lse)
+    return rankspace_decode_attention_xla(
+        q, gf.k_us, vt_k, gf.v_us, vt_v, scale, hkv,
+        k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+        valid_len=lengths,
+    )
+
+
 def decode_step(
     params: Params,
     cfg: ModelConfig,
@@ -285,6 +389,9 @@ def decode_step(
     cos_p, sin_p = prefill_cos_sin
 
     grp_index = layer_group_index(xkv) if xkv is not None else {}
+    # rope_mode="post": factors hold POST-RoPE keys; decode attention runs
+    # in rank space with no reconstruction (configs.py:rope_mode).
+    rope_post = xkv is not None and xkv.rope_mode == "post"
 
     h = params["embed"][tokens]
     for li, layer in enumerate(params["layers"]):
@@ -337,7 +444,15 @@ def decode_step(
                 and gf.k_cmin is not None
                 and ql == 1
             )
-            if sparse_ok:
+            if rope_post:
+                parts.append(
+                    _post_rope_factored_part(
+                        q, gf, gpos, cfg, scale, k_scale_slice,
+                        sparse_ok, sparse_select, sparse_block,
+                        attention_impl, pallas_ok, tp_ok, mesh,
+                    )
+                )
+            elif sparse_ok:
                 nc = gf.k_cmin.shape[1]
                 blk = sparse_block
                 assert nc == -(-gf.k_us.shape[1] // blk), (
@@ -438,16 +553,15 @@ def decode_step(
                         gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim
                     )
                 )
-                k_prefill = apply_rope(
-                    reconstruct_group_heads(
-                        gf.k_us,
-                        vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
-                        cfg.num_kv_heads,
-                        out_scale=k_scale_slice,
-                    ),
-                    cos_p[None],
-                    sin_p[None],
-                ).astype(q.dtype)
+                k_rec = reconstruct_group_heads(
+                    gf.k_us,
+                    vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                    cfg.num_kv_heads,
+                    out_scale=k_scale_slice,
+                )
+                if not rope_post:  # post-RoPE factors are already rotated
+                    k_rec = apply_rope(k_rec, cos_p[None], sin_p[None])
+                k_prefill = k_rec.astype(q.dtype)
             elif grp_info is not None and gf.slerp_k is not None:
                 from xkv_tpu.compress.slerp import compact_reconstruct
 
@@ -536,6 +650,7 @@ def decode_step_batched(
     cos_p, sin_p = prefill_cos_sin
 
     grp_index = layer_group_index(xkv) if xkv is not None else {}
+    rope_post = xkv is not None and xkv.rope_mode == "post"
 
     h = params["embed"][tokens2]
     for li, layer in enumerate(params["layers"]):
@@ -582,7 +697,16 @@ def decode_step_batched(
                 and cfg.num_kv_heads % mesh.shape["model"] == 0
             )
             sparse_ok_b = sparse_select is not None and gf.k_cmin is not None
-            if sparse_ok_b:
+            if rope_post:
+                parts.append(
+                    _post_rope_factored_part(
+                        q, gf, gpos, cfg, scale, k_scale_slice,
+                        sparse_ok_b, sparse_select, sparse_block,
+                        attention_impl, pallas_ok_b, tp_ok_b, mesh,
+                        lengths=prefill_len,
+                    )
+                )
+            elif sparse_ok_b:
                 nc = gf.k_cmin.shape[1]
                 blk = sparse_block
                 assert nc == -(-gf.k_us.shape[1] // blk), (

@@ -180,6 +180,7 @@ def factored_decode_attention_xla(
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
     valid_len: Optional[jax.Array] = None,
+    pre_rotated: bool = False,
 ) -> PartialAttention:
     """Decode attention over the factored prefill segment (XLA reference).
 
@@ -187,13 +188,16 @@ def factored_decode_attention_xla(
     k_us/v_us: (b, s_p, r); k_vt_slice/v_vt_slice: (b, r, hkv*hd).
     cos/sin: (s_p, hd) RoPE tables for prefill positions (applied to the
     reconstructed keys — the merged cache holds pre-RoPE keys).
+    ``pre_rotated``: the factors hold POST-RoPE keys (rope_mode="post");
+    skip the rotation (see ``rankspace_decode_attention_xla`` for the
+    production formulation that never reconstructs).
     """
     from xkv_tpu.ops.rope import apply_rope
 
-    k_pre = reconstruct_group_heads(
+    k_rec = reconstruct_group_heads(
         k_us, k_vt_slice, num_kv_heads, out_scale=k_scale_slice
     )  # (b, hkv, s, hd) fp32
-    k = apply_rope(k_pre, cos[None], sin[None])
+    k = k_rec if pre_rotated else apply_rope(k_rec, cos[None], sin[None])
     v = reconstruct_group_heads(
         v_us, v_vt_slice, num_kv_heads, rank_scale=v_rank_scale
     )
@@ -202,6 +206,75 @@ def factored_decode_attention_xla(
         s = k.shape[2]
         mask = (jnp.arange(s)[None, :] < valid_len[:, None])[:, None, None, :]
     return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale, mask)
+
+
+def rankspace_decode_attention_xla(
+    q: jax.Array,  # (b, hq, ql, hd) POST-RoPE decode queries
+    k_us: jax.Array,  # (b, s_p, rk)
+    k_vt_slice: jax.Array,  # (b, rk, hkv*hd) — this layer's V^T columns
+    v_us: jax.Array,  # (b, s_p, rv)
+    v_vt_slice: jax.Array,  # (b, rv, hkv*hd)
+    scale: float,
+    num_kv_heads: int,
+    k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 K scale
+    v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv) int8 V scale
+    valid_len: Optional[jax.Array] = None,
+) -> PartialAttention:
+    """Decode attention over POST-RoPE factors (rope_mode="post") entirely
+    in rank space — K is never reconstructed.
+
+    The factors store the rotated keys, so
+        scores = q . K^T = (q . vt^T) . us^T
+    exactly (the same absorption MLA gets from its RoPE-free latent,
+    `models/deepseek.py` absorbed decode — here unlocked for RoPE'd GQA by
+    factorizing after rotation). Per layer this is O(s*(rk+rv)) FLOPs
+    instead of the pre-RoPE path's O(s*rk*m) reconstruction.
+
+    Int8: the K column scale folds into the q->rank projection; the V rank
+    scale applies to the rank-space accumulator before the final vt GEMM.
+    """
+    b, hq, ql, hd = q.shape
+    hkv = num_kv_heads
+    gsz = hq // hkv
+    rk = k_us.shape[2]
+    rv = v_us.shape[2]
+    s_p = k_us.shape[1]
+
+    vt_k = k_vt_slice.astype(jnp.float32)
+    if k_scale_slice is not None:
+        vt_k = vt_k * k_scale_slice.astype(jnp.float32)  # dequant columns
+    vt_k = vt_k.reshape(b, rk, hkv, hd)
+    qg = q.astype(jnp.float32).reshape(b, hkv, gsz, ql, hd)
+    # q -> rank space through this layer's (dequantized) V^T columns.
+    q_emb = jnp.einsum("bgnqd,brgd->bgnqr", qg, vt_k) * scale
+    scores = jnp.einsum(
+        "bgnqr,bsr->bgnqs", q_emb, k_us.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, hq, ql, s_p)
+
+    if valid_len is not None:
+        mask = (jnp.arange(s_p)[None, :] < valid_len[:, None])[:, None, None, :]
+        scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m_safe = jnp.maximum(m, -1e29)
+    e = jnp.exp(scores - m_safe)
+    if valid_len is not None:
+        e = jnp.where(mask, e, 0.0)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(l, 1e-30)
+
+    # Value side in rank space: (P @ v_us) @ v_vt  (V has no RoPE).
+    t = jnp.einsum(
+        "bhqs,bsr->bhqr", p, v_us.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (b, hq, ql, rv)
+    if v_rank_scale is not None:
+        t = t * v_rank_scale.astype(jnp.float32)[:, None]  # (b,1,rv)->(b,1,1,rv)
+    vt_v = v_vt_slice.astype(jnp.float32).reshape(b, rv, hkv, hd)
+    tg = t.reshape(b, hkv, gsz, ql, rv)
+    out = jnp.einsum("bgnqr,brgd->bgnqd", tg, vt_v).reshape(b, hq, ql, hd)
+    lse = jnp.squeeze(m_safe, -1) + jnp.log(jnp.maximum(jnp.squeeze(l, -1), 1e-30))
+    return PartialAttention(out=out, lse=lse)
 
 
 def select_topk_chunks(
@@ -270,9 +343,11 @@ def sparse_factored_decode_attention_xla(
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
     valid_len: Optional[jax.Array] = None,
+    pre_rotated: bool = False,
 ) -> PartialAttention:
     """Sparse factored decode attention (XLA reference): gather the selected
     chunks' us rows + position tables, reconstruct ONLY those rows, attend.
+    ``pre_rotated``: post-RoPE factors (rope_mode="post") — no rotation.
 
     Compute/traffic drop from s_p to n_select*block per step; the returned
     partial merges with the dense tail (exact recent tokens) as usual.
@@ -306,15 +381,15 @@ def sparse_factored_decode_attention_xla(
         tc = t.reshape(nc, block, t.shape[-1])
         return jnp.take(tc, ids, axis=0).reshape(b, n_sel * block, t.shape[-1])
 
-    cos_g = gather_table(cos)
-    sin_g = gather_table(sin)
-
-    from xkv_tpu.ops.rope import apply_rope
-
-    k_pre = reconstruct_group_heads(
+    k_rec = reconstruct_group_heads(
         k_us_g, k_vt_slice, num_kv_heads, out_scale=k_scale_slice
     )
-    k = apply_rope(k_pre, cos_g, sin_g)
+    if pre_rotated:
+        k = k_rec
+    else:
+        from xkv_tpu.ops.rope import apply_rope
+
+        k = apply_rope(k_rec, gather_table(cos), gather_table(sin))
     v = reconstruct_group_heads(
         v_us_g, v_vt_slice, num_kv_heads, rank_scale=v_rank_scale
     )
