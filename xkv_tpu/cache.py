@@ -75,6 +75,11 @@ class GroupFactors:
     v_vt: Optional[jax.Array] = None  # (b, rv, g*hkv*hd)
     k_scale: Optional[jax.Array] = None  # (b, 1, g*hkv*hd) fp32 (int8 only)
     v_scale: Optional[jax.Array] = None  # (b, 1, rv) fp32 (int8 only)
+    # MLA only: per-layer inverse rms of the (lossy) reconstructed latent,
+    # (b, g, s_p) fp32. rms_norm's nonlinearity is a per-row scalar, so
+    # precomputing it at compression time lets absorbed MLA decode run in
+    # rank space without reconstructing the latent (models/deepseek.py).
+    k_rnorm: Optional[jax.Array] = None
     # Quest-style per-chunk elementwise bounds of the POST-RoPE group keys,
     # (b, n_chunks, g*hkv*hd) each — present when the engine's sparse top-k
     # decode is enabled. U_c = qpos.kmax + qneg.kmin upper-bounds every true
@@ -167,6 +172,7 @@ class XKVCache:
                 k_us=rep(g.k_us, 0), k_vt=rep(g.k_vt, 0),
                 v_us=rep(g.v_us, 0), v_vt=rep(g.v_vt, 0),
                 k_scale=rep(g.k_scale, 0), v_scale=rep(g.v_scale, 0),
+                k_rnorm=rep(g.k_rnorm, 0),
                 k_cmin=rep(g.k_cmin, 0), k_cmax=rep(g.k_cmax, 0),
                 slerp_k=rep_sc(g.slerp_k), slerp_v=rep_sc(g.slerp_v),
             )

@@ -55,6 +55,22 @@ def _split_group_matrix(mat: jax.Array, g: int, hkv: int) -> List[jax.Array]:
 _BOUND_BIG = 3e38  # padding sentinel; makes padded-only chunks unselectable
 
 
+def latent_rnorm(k_rec_mat: jax.Array, g: int) -> jax.Array:
+    """Per-layer inverse rms of the reconstructed MLA latent.
+
+    k_rec_mat: (b, s, g*lora) — the (lossy, dequantized) group
+    reconstruction. Returns (b, g, s) fp32: rsqrt(mean(z^2) + 1e-6) per
+    row, matching models/deepseek.py norm_latent's rms_norm(·, w, 1e-6).
+    The per-row scalar is the only nonlinear part of the latent norm, so
+    storing it lets absorbed decode stay in rank space (the per-column
+    weight w folds into the absorbed query instead)."""
+    b, s, gm = k_rec_mat.shape
+    width = gm // g
+    z = k_rec_mat.astype(jnp.float32).reshape(b, s, g, width)
+    r = jax.lax.rsqrt(jnp.mean(z * z, axis=-1) + 1e-6)  # (b, s, g)
+    return jnp.transpose(r, (0, 2, 1))
+
+
 def chunk_bounds(
     k_mat: jax.Array,  # (b, s, n_heads*hd) PRE-RoPE group/layer key matrix
     cos: jax.Array,  # (s, hd) RoPE tables (None -> no rotation)
@@ -186,15 +202,33 @@ def build_cache(
                             else rope_dense_k(kr)
                         )
                 elif quantize:
-                    from xkv_tpu.compress.quant import quantize_k_factors
+                    from xkv_tpu.compress.quant import (
+                        dequantize_k,
+                        quantize_k_factors,
+                    )
 
                     qk = quantize_k_factors(fac_k.us, fac_k.vt)
                     gf_kwargs["k_us"] = qk.us_q
                     gf_kwargs["k_vt"] = qk.vt_q
                     gf_kwargs["k_scale"] = qk.out_scale
+                    if not rope_dense_keys:
+                        # MLA: rank-space decode needs the per-row inv-rms
+                        # of the latent decode will reconstruct — i.e. the
+                        # DEQUANTIZED one.
+                        gf_kwargs["k_rnorm"] = latent_rnorm(
+                            dequantize_k(qk), len(layers)
+                        )
                 else:
                     gf_kwargs["k_us"] = fac_k.us.astype(factor_dtype)
                     gf_kwargs["k_vt"] = fac_k.vt.astype(factor_dtype)
+                    if not rope_dense_keys:
+                        rec = reconstruct(
+                            LowRankFactors(
+                                gf_kwargs["k_us"].astype(jnp.float32),
+                                gf_kwargs["k_vt"].astype(jnp.float32),
+                            )
+                        )
+                        gf_kwargs["k_rnorm"] = latent_rnorm(rec, len(layers))
                 if sparse_block is not None and not fake:
                     # Bounds from the EXACT prefill keys (tighter than from
                     # the lossy reconstruction; selection is approximate
@@ -398,11 +432,25 @@ def refactorize_cache(
 
                 qk = quantize_k_factors(fac_k.us, fac_k.vt)
                 kw.update(k_us=qk.us_q, k_vt=qk.vt_q, k_scale=qk.out_scale)
+                if gf.k_rnorm is not None:
+                    from xkv_tpu.compress.quant import dequantize_k
+
+                    kw["k_rnorm"] = latent_rnorm(
+                        dequantize_k(qk), len(layers)
+                    )
             else:
                 kw.update(
                     k_us=fac_k.us.astype(factor_dtype),
                     k_vt=fac_k.vt.astype(factor_dtype),
                 )
+                if gf.k_rnorm is not None:
+                    kw["k_rnorm"] = latent_rnorm(
+                        reconstruct(LowRankFactors(
+                            kw["k_us"].astype(jnp.float32),
+                            kw["k_vt"].astype(jnp.float32),
+                        )),
+                        len(layers),
+                    )
             if gf.k_cmin is not None:
                 block = -(-s_p // gf.k_cmin.shape[1])
                 cos_f, sin_f = (
@@ -566,6 +614,7 @@ def refactorize_slot_cache(
         kw = dict(
             k_us=gf.k_us, k_vt=gf.k_vt, k_scale=gf.k_scale,
             v_us=gf.v_us, v_vt=gf.v_vt, v_scale=gf.v_scale,
+            k_rnorm=gf.k_rnorm,
             k_cmin=gf.k_cmin, k_cmax=gf.k_cmax,
         )
         if gf.k_us is not None:
@@ -591,11 +640,27 @@ def refactorize_slot_cache(
                     k_vt=put(gf.k_vt, qk.vt_q, 0),
                     k_scale=put(gf.k_scale, qk.out_scale, 0),
                 )
+                if gf.k_rnorm is not None:
+                    kw["k_rnorm"] = put(
+                        gf.k_rnorm,
+                        latent_rnorm(dequantize_k(qk), len(layers)), 0,
+                    )
             else:
                 kw.update(
                     k_us=put(gf.k_us, fac_k.us, 0),
                     k_vt=put(gf.k_vt, fac_k.vt, 0),
                 )
+                if gf.k_rnorm is not None:
+                    kw["k_rnorm"] = put(
+                        gf.k_rnorm,
+                        latent_rnorm(
+                            reconstruct(LowRankFactors(
+                                fac_k.us.astype(jnp.float32),
+                                fac_k.vt.astype(jnp.float32),
+                            )),
+                            len(layers),
+                        ), 0,
+                    )
             if gf.k_cmin is not None:
                 s_rows = gf.k_us.shape[1]
                 block = -(-s_rows // gf.k_cmin.shape[1])

@@ -373,7 +373,47 @@ def decode_step(
 
         grp_info = grp_index.get(li)
         gf = cache.groups[grp_info[0]] if grp_info is not None else None
-        if gf is not None and gf.k_us is not None:
+        rank_space = (
+            gf is not None and gf.k_us is not None and gf.k_rnorm is not None
+        )
+        if rank_space:
+            # Fully rank-space absorbed scores: the rms_norm on the latent
+            # is a per-row SCALAR (precomputed at compression time as
+            # gf.k_rnorm — engine/compression.py:latent_rnorm); the
+            # per-column norm weight w (and the int8 column scale) folds
+            # into the absorbed query. No per-step latent reconstruction.
+            gi, gpos = grp_info
+            width = cfg.kv_lora_rank
+            vt_l = jax.lax.slice_in_dim(
+                gf.k_vt, gpos * width, (gpos + 1) * width, axis=2
+            )  # (b, rk, lora)
+            k_us = gf.k_us
+            r_l = gf.k_rnorm[:, gpos]  # (b, s_p); full-rank norms — with
+            # draft_rank truncation the draft is approximate anyway
+            if draft_rank is not None:
+                k_us = k_us[..., :draft_rank]
+                vt_l = vt_l[:, :draft_rank]
+            w4 = ap["kv_a_norm"].astype(jnp.float32)[None, None, None, :]
+            if gf.k_scale is not None:
+                sc_l = jax.lax.slice_in_dim(
+                    gf.k_scale, gpos * width, (gpos + 1) * width, axis=2
+                )  # (b, 1, lora)
+                fold4 = w4 * sc_l[:, :, None, :]
+            else:
+                fold4 = w4
+            q_emb = jnp.einsum(
+                "bhql,brl->bhqr", q_abs * fold4, vt_l.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )  # (b, nh, ql, rk)
+            us_f = k_us.astype(jnp.float32)
+            s_nope_p = jnp.einsum(
+                "bhqr,bsr->bhqs", q_emb, us_f,
+                preferred_element_type=jnp.float32,
+            ) * r_l[:, None, None, :]
+            s_p_len = k_us.shape[1]
+            latent_p = None
+        elif gf is not None and gf.k_us is not None:
+            # Legacy reconstruct path (caches persisted without k_rnorm).
             gi, gpos = grp_info
             width = cfg.kv_lora_rank
             vt_l = jax.lax.slice_in_dim(
@@ -383,8 +423,6 @@ def decode_step(
             if draft_rank is not None:
                 k_us = k_us[..., :draft_rank]
                 vt_l = vt_l[:, :draft_rank]
-            # Rank-space is blocked by the rms_norm on the latent (nonlinear
-            # per token); reconstruct the latent rows, normalize, contract.
             if gf.k_scale is not None:
                 from xkv_tpu.compress.quant import (
                     QuantizedKFactors,
@@ -402,8 +440,10 @@ def decode_step(
         else:
             latent_p = norm_latent(cache.dense_k[li][:, 0])  # (b, s_p, lora)
 
-        s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
-                              preferred_element_type=jnp.float32)
+        if not rank_space:
+            s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
+                                  preferred_element_type=jnp.float32)
+            s_p_len = latent_p.shape[1]
         k_pe_p = cache.dense_v[li][:, 0].astype(jnp.float32)  # (b, s_p, rope)
         s_pe_p = jnp.einsum("bhqd,bsd->bhqs", q_pe.astype(jnp.float32), k_pe_p,
                             preferred_element_type=jnp.float32)
@@ -429,9 +469,21 @@ def decode_step(
         # joint softmax over prefill + tail, then W_uv recombination
         scores = jnp.concatenate([scores_p, scores_t], axis=-1)
         probs = jax.nn.softmax(scores, axis=-1)
-        s_p_len = latent_p.shape[1]
         p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
-        lat_sum = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p) + jnp.einsum(
+        if rank_space:
+            # Value side in rank space: t = (P * r) @ us, project through
+            # vt with the same w/scale fold as the score side.
+            t_pre = jnp.einsum(
+                "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :], us_f,
+                preferred_element_type=jnp.float32,
+            )
+            lat_pre = jnp.einsum(
+                "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * fold4
+        else:
+            lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
+        lat_sum = lat_pre + jnp.einsum(
             "bhqt,btl->bhql", p_tail, latent_t
         )
         attn = jnp.einsum("bhql,hlv->bhqv", lat_sum, w_uv.astype(jnp.float32))
@@ -576,7 +628,43 @@ def decode_step_batched(
 
         grp_info = grp_index.get(li)
         gf = cache.groups[grp_info[0]] if grp_info is not None else None
-        if gf is not None and gf.k_us is not None:
+        rank_space = (
+            gf is not None and gf.k_us is not None and gf.k_rnorm is not None
+        )
+        if rank_space:
+            # Rank-space absorbed scores/values (see decode_step): the
+            # precomputed per-row inv-rms replaces per-step latent
+            # reconstruction + normalization.
+            gi, gpos = grp_info
+            width = cfg.kv_lora_rank
+            vt_l = jax.lax.slice_in_dim(
+                gf.k_vt, gpos * width, (gpos + 1) * width, axis=2
+            )
+            k_us = gf.k_us
+            r_l = gf.k_rnorm[:, gpos]  # (B, s_p)
+            if draft_rank is not None:
+                k_us = k_us[..., :draft_rank]
+                vt_l = vt_l[:, :draft_rank]
+            w4 = ap["kv_a_norm"].astype(jnp.float32)[None, None, None, :]
+            if gf.k_scale is not None:
+                sc_l = jax.lax.slice_in_dim(
+                    gf.k_scale, gpos * width, (gpos + 1) * width, axis=2
+                )
+                fold4 = w4 * sc_l[:, :, None, :]
+            else:
+                fold4 = w4
+            q_emb = jnp.einsum(
+                "bhql,brl->bhqr", q_abs * fold4, vt_l.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            us_f = k_us.astype(jnp.float32)
+            s_nope_p = jnp.einsum(
+                "bhqr,bsr->bhqs", q_emb, us_f,
+                preferred_element_type=jnp.float32,
+            ) * r_l[:, None, None, :]
+            s_p_len = k_us.shape[1]
+            latent_p = None
+        elif gf is not None and gf.k_us is not None:
             gi, gpos = grp_info
             width = cfg.kv_lora_rank
             vt_l = jax.lax.slice_in_dim(
@@ -600,9 +688,10 @@ def decode_step_batched(
         else:
             latent_p = norm_latent(cache.dense_k[li][:, 0])
 
-        s_p_len = latent_p.shape[1]
-        s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
-                              preferred_element_type=jnp.float32)
+        if not rank_space:
+            s_p_len = latent_p.shape[1]
+            s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
+                                  preferred_element_type=jnp.float32)
         k_pe_p = cache.dense_v[li][:, 0].astype(jnp.float32)
         s_pe_p = jnp.einsum("bhqd,bsd->bhqs", q_pe.astype(jnp.float32), k_pe_p,
                             preferred_element_type=jnp.float32)
@@ -637,7 +726,18 @@ def decode_step_batched(
         )
         probs = probs * full_mask.astype(probs.dtype)
         p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
-        lat_sum = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p) + jnp.einsum(
+        if rank_space:
+            t_pre = jnp.einsum(
+                "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :], us_f,
+                preferred_element_type=jnp.float32,
+            )
+            lat_pre = jnp.einsum(
+                "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * fold4
+        else:
+            lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
+        lat_sum = lat_pre + jnp.einsum(
             "bhqt,btl->bhql", p_tail, latent_t
         )
         attn = jnp.einsum("bhql,hlv->bhqv", lat_sum, w_uv.astype(jnp.float32))
