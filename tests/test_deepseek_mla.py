@@ -186,3 +186,29 @@ def test_mla_draft_rank_validation(params):
     with _pytest.raises(ValueError, match="requires sparse_topk"):
         eng = make_engine(params, "factored", xkv=latent_xkv())
         eng.generate_speculative(np.zeros((1, 8), np.int32), 4)
+
+
+def test_mla_pallas_kernel_matches_xla(params, prompt):
+    """The fused MLA rank-space kernel (attention_impl='pallas',
+    interpret on CPU) must match the XLA concat-softmax path, logits and
+    greedy tokens."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=24, rank_v=None, merge_value=False,
+        extra_kwargs={"svd_method": "exact"},
+    )
+    eng_x = make_engine(params, "factored", xkv)
+    eng_p = make_engine(params, "factored", xkv, attention_impl="pallas")
+
+    lx, cx = eng_x.prefill(prompt)
+    lp, cp = eng_p.prefill(prompt)
+    tok = jnp.argmax(lx[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    dx, _ = eng_x.decode_step(cx, tok, pos)
+    dp, _ = eng_p.decode_step(cp, tok, pos)
+    np.testing.assert_allclose(
+        np.asarray(dp[:, -1]), np.asarray(dx[:, -1]), rtol=2e-4, atol=2e-4
+    )
+    out_x = np.asarray(eng_x.generate(prompt, max_new_tokens=6))
+    out_p = np.asarray(eng_p.generate(prompt, max_new_tokens=6))
+    np.testing.assert_array_equal(out_x, out_p)

@@ -34,7 +34,7 @@ from xkv_tpu.cache import XKVCache, layer_group_index
 from xkv_tpu.configs import XKVConfig
 from xkv_tpu.models.config import ModelConfig
 from xkv_tpu.models.llama import rms_norm, unembed
-from xkv_tpu.ops.attention import NEG_INF, PartialAttention
+from xkv_tpu.ops.attention import NEG_INF, PartialAttention, merge_partials
 from xkv_tpu.ops.rope import apply_rope_interleaved, rope_cos_sin
 
 Params = Dict[str, Any]
@@ -440,14 +440,7 @@ def decode_step(
         else:
             latent_p = norm_latent(cache.dense_k[li][:, 0])  # (b, s_p, lora)
 
-        if not rank_space:
-            s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
-                                  preferred_element_type=jnp.float32)
-            s_p_len = latent_p.shape[1]
         k_pe_p = cache.dense_v[li][:, 0].astype(jnp.float32)  # (b, s_p, rope)
-        s_pe_p = jnp.einsum("bhqd,bsd->bhqs", q_pe.astype(jnp.float32), k_pe_p,
-                            preferred_element_type=jnp.float32)
-        scores_p = (s_nope_p + s_pe_p) * scale
 
         # tail segment; causal among the ql new rows: query i sees tail
         # rows < tail_len + i + 1
@@ -466,26 +459,74 @@ def decode_step(
         )
         scores_t = jnp.where(t_mask, scores_t, NEG_INF)
 
-        # joint softmax over prefill + tail, then W_uv recombination
-        scores = jnp.concatenate([scores_p, scores_t], axis=-1)
-        probs = jax.nn.softmax(scores, axis=-1)
-        p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
-        if rank_space:
-            # Value side in rank space: t = (P * r) @ us, project through
-            # vt with the same w/scale fold as the score side.
-            t_pre = jnp.einsum(
-                "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :], us_f,
-                preferred_element_type=jnp.float32,
+        mla_kernel_ok = (
+            rank_space
+            and attention_impl == "pallas"
+            and mesh is None
+            and (
+                jax.default_backend() != "tpu"
+                or (k_us.shape[2] % 128 == 0 and q_emb.shape[-1] % 128 == 0)
             )
-            lat_pre = jnp.einsum(
+        )
+        if mla_kernel_ok:
+            # Fused path: one online-softmax kernel over the factored
+            # latent + dense pe keys; tail handled as a mergeable partial
+            # in latent space (flash-decoding combine).
+            from xkv_tpu.ops.pallas.rankspace_attention import (
+                mla_rankspace_decode_attention,
+            )
+
+            t_pre, lse_p = mla_rankspace_decode_attention(
+                q_emb * scale, q_pe.astype(jnp.float32) * scale,
+                k_us, cache.dense_v[li][:, 0], r_l,
+            )
+            lat_pre_n = jnp.einsum(
                 "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             ) * fold4
+            m_t = jnp.max(scores_t, axis=-1, keepdims=True)
+            m_ts = jnp.maximum(m_t, -1e29)
+            e_t = jnp.where(t_mask, jnp.exp(scores_t - m_ts), 0.0)
+            l_t = jnp.sum(e_t, axis=-1, keepdims=True)
+            lat_t_n = jnp.einsum(
+                "bhqt,btl->bhql", e_t / jnp.maximum(l_t, 1e-30), latent_t
+            )
+            lse_t = m_ts[..., 0] + jnp.log(jnp.maximum(l_t[..., 0], 1e-30))
+            lat_sum = merge_partials(
+                PartialAttention(out=lat_pre_n, lse=lse_p),
+                PartialAttention(out=lat_t_n, lse=lse_t),
+            )
         else:
-            lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
-        lat_sum = lat_pre + jnp.einsum(
-            "bhqt,btl->bhql", p_tail, latent_t
-        )
+            if not rank_space:
+                s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
+                                      preferred_element_type=jnp.float32)
+                s_p_len = latent_p.shape[1]
+            s_pe_p = jnp.einsum(
+                "bhqd,bsd->bhqs", q_pe.astype(jnp.float32), k_pe_p,
+                preferred_element_type=jnp.float32,
+            )
+            scores_p = (s_nope_p + s_pe_p) * scale
+
+            # joint softmax over prefill + tail, then W_uv recombination
+            scores = jnp.concatenate([scores_p, scores_t], axis=-1)
+            probs = jax.nn.softmax(scores, axis=-1)
+            p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
+            if rank_space:
+                # Value side in rank space: t = (P * r) @ us, project
+                # through vt with the same w/scale fold as the score side.
+                t_pre = jnp.einsum(
+                    "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :], us_f,
+                    preferred_element_type=jnp.float32,
+                )
+                lat_pre = jnp.einsum(
+                    "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ) * fold4
+            else:
+                lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
+            lat_sum = lat_pre + jnp.einsum(
+                "bhqt,btl->bhql", p_tail, latent_t
+            )
         attn = jnp.einsum("bhql,hlv->bhqv", lat_sum, w_uv.astype(jnp.float32))
         attn = jnp.transpose(attn.astype(h.dtype), (0, 2, 1, 3)).reshape(b, ql, -1)
         h = resid + attn @ ap["o_proj"]
@@ -688,18 +729,7 @@ def decode_step_batched(
         else:
             latent_p = norm_latent(cache.dense_k[li][:, 0])
 
-        if not rank_space:
-            s_p_len = latent_p.shape[1]
-            s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
-                                  preferred_element_type=jnp.float32)
         k_pe_p = cache.dense_v[li][:, 0].astype(jnp.float32)
-        s_pe_p = jnp.einsum("bhqd,bsd->bhqs", q_pe.astype(jnp.float32), k_pe_p,
-                            preferred_element_type=jnp.float32)
-        scores_p = (s_nope_p + s_pe_p) * scale
-        p_mask = (
-            jnp.arange(s_p_len)[None, :] < prefill_len[:, None]
-        )[:, None, None, :]
-        scores_p = jnp.where(p_mask, scores_p, NEG_INF)
 
         latent_t = norm_latent(cache.tail_k[li][:, 0])
         k_pe_t = cache.tail_v[li][:, 0].astype(jnp.float32)
@@ -717,29 +747,80 @@ def decode_step_batched(
         )[:, None, :, :]  # (B, 1, ql, t_max)
         scores_t = jnp.where(t_mask, scores_t, NEG_INF)
 
-        scores = jnp.concatenate([scores_p, scores_t], axis=-1)
-        probs = jax.nn.softmax(scores, axis=-1)
-        # zero masked columns explicitly (fully-masked pad rows otherwise
-        # contribute garbage latents)
-        full_mask = jnp.concatenate(
-            [jnp.broadcast_to(p_mask, (b, 1, ql, s_p_len)), t_mask], axis=-1
-        )
-        probs = probs * full_mask.astype(probs.dtype)
-        p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
-        if rank_space:
-            t_pre = jnp.einsum(
-                "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :], us_f,
-                preferred_element_type=jnp.float32,
+        mla_kernel_ok = (
+            rank_space
+            and attention_impl == "pallas"
+            and mesh is None
+            and (
+                jax.default_backend() != "tpu"
+                or (k_us.shape[2] % 128 == 0 and q_emb.shape[-1] % 128 == 0)
             )
-            lat_pre = jnp.einsum(
+        )
+        if mla_kernel_ok:
+            from xkv_tpu.ops.pallas.rankspace_attention import (
+                mla_rankspace_decode_attention,
+            )
+
+            t_pre, lse_p = mla_rankspace_decode_attention(
+                q_emb * scale, q_pe.astype(jnp.float32) * scale,
+                k_us, cache.dense_v[li][:, 0], r_l,
+                lengths=prefill_len,
+            )
+            lat_pre_n = jnp.einsum(
                 "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             ) * fold4
+            m_t = jnp.max(scores_t, axis=-1, keepdims=True)
+            m_ts = jnp.maximum(m_t, -1e29)
+            e_t = jnp.where(t_mask, jnp.exp(scores_t - m_ts), 0.0)
+            l_t = jnp.sum(e_t, axis=-1, keepdims=True)
+            lat_t_n = jnp.einsum(
+                "bhqt,btl->bhql", e_t / jnp.maximum(l_t, 1e-30), latent_t
+            )
+            lse_t = m_ts[..., 0] + jnp.log(jnp.maximum(l_t[..., 0], 1e-30))
+            lat_sum = merge_partials(
+                PartialAttention(out=lat_pre_n, lse=lse_p),
+                PartialAttention(out=lat_t_n, lse=lse_t),
+            )
         else:
-            lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
-        lat_sum = lat_pre + jnp.einsum(
-            "bhqt,btl->bhql", p_tail, latent_t
-        )
+            if not rank_space:
+                s_p_len = latent_p.shape[1]
+                s_nope_p = jnp.einsum("bhql,bsl->bhqs", q_abs, latent_p,
+                                      preferred_element_type=jnp.float32)
+            s_pe_p = jnp.einsum(
+                "bhqd,bsd->bhqs", q_pe.astype(jnp.float32), k_pe_p,
+                preferred_element_type=jnp.float32,
+            )
+            scores_p = (s_nope_p + s_pe_p) * scale
+            p_mask = (
+                jnp.arange(s_p_len)[None, :] < prefill_len[:, None]
+            )[:, None, None, :]
+            scores_p = jnp.where(p_mask, scores_p, NEG_INF)
+
+            scores = jnp.concatenate([scores_p, scores_t], axis=-1)
+            probs = jax.nn.softmax(scores, axis=-1)
+            # zero masked columns explicitly (fully-masked pad rows
+            # otherwise contribute garbage latents)
+            full_mask = jnp.concatenate(
+                [jnp.broadcast_to(p_mask, (b, 1, ql, s_p_len)), t_mask],
+                axis=-1,
+            )
+            probs = probs * full_mask.astype(probs.dtype)
+            p_pre, p_tail = probs[..., :s_p_len], probs[..., s_p_len:]
+            if rank_space:
+                t_pre = jnp.einsum(
+                    "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :], us_f,
+                    preferred_element_type=jnp.float32,
+                )
+                lat_pre = jnp.einsum(
+                    "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ) * fold4
+            else:
+                lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
+            lat_sum = lat_pre + jnp.einsum(
+                "bhqt,btl->bhql", p_tail, latent_t
+            )
         attn = jnp.einsum("bhql,hlv->bhqv", lat_sum, w_uv.astype(jnp.float32))
         attn = jnp.transpose(attn.astype(h.dtype), (0, 2, 1, 3)).reshape(b, ql, -1)
         h = resid + attn @ ap["o_proj"]

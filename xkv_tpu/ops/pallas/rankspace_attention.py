@@ -365,6 +365,169 @@ def sparse_rankspace_decode_attention(
     return out, lse[:, 0, :, None]
 
 
+def _mla_rankspace_kernel(
+    q_emb_ref,  # (1, R, rk) — absorbed query in rank space, scale+w+int8
+                # column scale folded (models/deepseek.py rank_space path)
+    q_pe_ref,  # (1, R, rope) — rotated pe query, attention scale folded
+    len_ref,  # (b, 1) int32 SMEM
+    k_us_ref,  # (1, block_s, rk)
+    k_pe_ref,  # (1, block_s, rope)
+    r_ref,  # (1, block_s) fp32 — per-row latent inverse rms
+    t_ref,  # (1, R, rk) out — segment-normalized rank-space values
+    lse_ref,  # (1, 8, R) fp32
+    m_scratch,
+    l_scratch,
+    t_scratch,  # (R, rk) fp32
+    *,
+    block_s: int,
+):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        t_scratch[...] = jnp.zeros_like(t_scratch)
+
+    compute_dtype = q_emb_ref.dtype
+    us_blk = k_us_ref[0]
+    if us_blk.dtype != compute_dtype:
+        us_blk = us_blk.astype(compute_dtype)
+    rr = r_ref[...].astype(jnp.float32)  # (1, block_s)
+
+    # score = (q_emb . us^T) * r  +  q_pe . k_pe^T   — the r multiplier
+    # applies only to the nope (latent) part; both q embeds carry the
+    # softmax scale already.
+    s_nope = jax.lax.dot_general(
+        q_emb_ref[0], us_blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, block_s)
+    s_pe = jax.lax.dot_general(
+        q_pe_ref[0], k_pe_ref[0].astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s_nope * rr + s_pe
+    col_mask = (
+        si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+    ) < len_ref[bi, 0]
+    s = jnp.where(col_mask, s, NEG_INF)
+
+    m_prev = m_scratch[...][:, :1]
+    l_prev = l_scratch[...][:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.where(col_mask, jnp.exp(s - m_next), 0.0)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+    # value side: t += (P * r) @ us — the same rank-space absorption, with
+    # the per-row norm applied to the probabilities.
+    t_curr = jnp.dot(
+        (p * rr).astype(compute_dtype), us_blk,
+        preferred_element_type=jnp.float32,
+    )  # (R, rk)
+    t_scratch[...] = t_scratch[...] * alpha + t_curr
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _store():
+        m_fin = m_scratch[...][:, :1]
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        t_ref[0] = (t_scratch[...] * l_inv).astype(t_ref.dtype)
+        lse = (m_fin + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def mla_rankspace_decode_attention(
+    q_emb: jax.Array,  # (b, nh, ql, rk) absorbed rank-space query (folded)
+    q_pe: jax.Array,  # (b, nh, ql, rope) rotated pe query (scale folded)
+    k_us: jax.Array,  # (b, s_p, rk) latent factors
+    k_pe: jax.Array,  # (b, s_p, rope) dense rotated pe keys
+    r: jax.Array,  # (b, s_p) fp32 latent inverse rms
+    lengths: Optional[jax.Array] = None,
+    *,
+    block_s: int = 2048,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused MLA rank-space decode over the factored latent + dense pe
+    keys (one online softmax; latent never reconstructed — the per-row
+    norm r and per-column folds come precomputed, models/deepseek.py).
+
+    Returns (t (b, nh, ql, rk) — segment-normalized rank-space values —
+    and lse (b, nh, ql)); the caller projects through vt/w and merges
+    with the dense tail partial in latent space.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, nh, ql, rk = q_emb.shape
+    rope = q_pe.shape[3]
+    s_p = k_us.shape[1]
+    R = ql * nh
+
+    compute_dtype = (
+        jnp.float32 if k_us.dtype == jnp.float32 else jnp.bfloat16
+    )
+    # rows ordered (ql, nh) like the llama kernel
+    qe = jnp.transpose(q_emb, (0, 2, 1, 3)).reshape(b, R, rk)
+    qp = jnp.transpose(q_pe, (0, 2, 1, 3)).reshape(b, R, rope)
+    qe = qe.astype(compute_dtype)
+    qp = qp.astype(compute_dtype)
+
+    block_s = min(block_s, s_p)
+    s_pad = pl.cdiv(s_p, block_s) * block_s
+    if s_pad != s_p:
+        k_us = jnp.pad(k_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        k_pe = jnp.pad(k_pe, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        r = jnp.pad(r, ((0, 0), (0, s_pad - s_p)))
+    grid_s = s_pad // block_s
+
+    if lengths is None:
+        lengths = jnp.full((b,), s_p, jnp.int32)
+    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+
+    kernel = functools.partial(_mla_rankspace_kernel, block_s=block_s)
+    t, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, R, rk), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, R), jnp.float32),
+        ),
+        grid=(b, grid_s),
+        in_specs=[
+            pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, R, rope), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, block_s, rope), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, block_s), lambda bi, si: (bi, si)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, R), lambda bi, si: (bi, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, rk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qe, qp, lengths, k_us, k_pe, r.astype(jnp.float32))
+
+    t = jnp.transpose(t.reshape(b, ql, nh, rk), (0, 2, 1, 3))
+    lse = jnp.transpose(lse[:, 0, :].reshape(b, ql, nh), (0, 2, 1))
+    return t, lse
+
+
 def rankspace_decode_attention_tp(
     mesh,
     q: jax.Array,  # (b, hq, ql, hd) POST-RoPE
