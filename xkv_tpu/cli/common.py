@@ -53,6 +53,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         choices=["xla", "pallas"])
     parser.add_argument("--mesh_model", type=int, default=1,
                         help="tensor-parallel width of the device mesh")
+    parser.add_argument("--rope_mode", type=str, default="pre",
+                        choices=["pre", "post"],
+                        help="factored-key domain: 'pre' = reference "
+                        "pre-RoPE semantics; 'post' = rotate before the "
+                        "SVD for rank-space decode (docs/ROPE_MODES.md)")
     parser.add_argument("--svd_method", type=str, default="randomized",
                         choices=["exact", "randomized"])
     parser.add_argument("--factor_dtype", type=str, default="bf16",
@@ -101,6 +106,7 @@ def build_xkv_config(args, num_layers: int) -> Optional[XKVConfig]:
         merge_value=args.merge_value,
         extra_kwargs={
             "svd_method": args.svd_method,
+            "rope_mode": getattr(args, "rope_mode", "pre"),
             "slerp_compact": getattr(args, "slerp_compact", False),
             "slerp_keep_frac": getattr(args, "slerp_keep_frac", 0.125),
         },
