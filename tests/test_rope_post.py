@@ -254,3 +254,32 @@ def test_rope_mode_validation_and_yaml(tmp_path):
             group_size=2, rank_k=8, rank_v=8,
             extra_kwargs={"rope_mode": "sideways"},
         ).rope_mode
+
+
+def test_post_batched_refactorization_extends_generation(params):
+    """Slot-level tail folds in post mode: the post-RoPE tail joins the
+    rotated factors with no un-rotation; at full rank the output must
+    match the uncompressed baseline across fold boundaries."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    cfg = xkv_cfg()  # full rank, post
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(12,)).astype(np.int32)
+               for _ in range(2)]
+    n_new = 10  # > 2 folds at tail_max=4
+
+    expected = []
+    for p in prompts:
+        eng = make_engine(params, "none", tail_max=n_new + 2)
+        expected.append(
+            np.asarray(eng.generate(p[None, :], n_new))[0].tolist()
+        )
+    be = BatchedEngine(
+        params, CFG, xkv=cfg, num_slots=2, s_max=32, tail_max=4,
+        prefill_buckets=[16],
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, exp in zip(ids, expected):
+        assert by_id[rid] == exp
