@@ -246,7 +246,8 @@ def main():
     ap.add_argument("--only", default=None, choices=["factored", "none"],
                     help="measure one mode and print its tokens/s (sweeps)")
     ap.add_argument("--attention-impl", default=None, choices=["xla", "pallas"])
-    ap.add_argument("--factor-dtype", default="int8", choices=["bf16", "int8"],
+    ap.add_argument("--factor-dtype", default="int8",
+                    choices=["bf16", "int8", "int4"],
                     help="low-rank factor storage (int8 = quantized cache)")
     ap.add_argument("--sparse", type=int, default=None,
                     help="sparse top-k decode: attend to N prefill chunks")
@@ -322,7 +323,8 @@ def main():
     cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail,
                                      rope_mode=args.rope_mode)
 
-    factor_dtype = "int8" if args.factor_dtype == "int8" else jnp.bfloat16
+    factor_dtype = (args.factor_dtype if args.factor_dtype
+                    in ("int8", "int4") else jnp.bfloat16)
     tps_fact = tps_none = tps_verify = None
     prefill_fact_s = prefill_none_s = None
     want_prefill = not (args.quick or args.matched)

@@ -99,3 +99,52 @@ def test_mixed_k_r_hi_full_matches_int8(factors):
         np.asarray(dequantize_k(q8)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_mixed4_packed_matches_unpacked_mixed():
+    """The packed-nibble kernel format reconstructs EXACTLY what the
+    jnp.int4 math format does (same quantizer, different storage)."""
+    import jax
+    import jax.numpy as jnp
+    from xkv_tpu.compress.quant import (
+        dequantize_k_mixed,
+        dequantize_k_mixed4,
+        quantize_k_factors_mixed,
+        quantize_k_factors_mixed4,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    us = jax.random.normal(ks[0], (2, 40, 16), jnp.float32)
+    vt = jax.random.normal(ks[1], (2, 16, 24), jnp.float32)
+    a = dequantize_k_mixed(quantize_k_factors_mixed(us, vt, r_hi=8))
+    b = dequantize_k_mixed4(quantize_k_factors_mixed4(us, vt, r_hi=8))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_mixed4_v_reconstruction_close():
+    """Mixed V factors: error sits between full int8 and nothing; the
+    int4 tail on the low-energy ranks costs little when ranks are
+    singular-ordered."""
+    import jax
+    import jax.numpy as jnp
+    from xkv_tpu.compress.quant import (
+        dequantize_v,
+        dequantize_v_mixed4,
+        quantize_v_factors,
+        quantize_v_factors_mixed4,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(6), 2)
+    # singular-ordered: decay the tail ranks like an SVD us would
+    decay = jnp.exp(-0.3 * jnp.arange(16))[None, None, :]
+    us = jax.random.normal(ks[0], (2, 40, 16), jnp.float32) * decay
+    vt = jax.random.normal(ks[1], (2, 16, 24), jnp.float32)
+    exact = jnp.einsum("bsr,brm->bsm", us, vt)
+    e8 = float(jnp.linalg.norm(
+        dequantize_v(quantize_v_factors(us, vt)) - exact))
+    e4 = float(jnp.linalg.norm(
+        dequantize_v_mixed4(quantize_v_factors_mixed4(us, vt, r_hi=8))
+        - exact))
+    n = float(jnp.linalg.norm(exact))
+    assert e8 / n < 0.02
+    assert e4 / n < 0.05  # int4 tail: small extra error on decayed ranks

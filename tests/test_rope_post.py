@@ -283,3 +283,72 @@ def test_post_batched_refactorization_extends_generation(params):
     by_id = {r.request_id: r.generated for r in be.run()}
     for rid, exp in zip(ids, expected):
         assert by_id[rid] == exp
+
+
+def test_int4_mixed_factors_close(params, prompt):
+    """factor_dtype='int4' (mixed int8 top ranks + packed int4 tail):
+    greedy output stays close to fp32 factors; XLA == pallas kernel; the
+    stored cache is smaller than int8."""
+    cfg = xkv_cfg()
+    out_f32 = np.asarray(
+        make_engine(params, "factored", cfg).generate(prompt, max_new_tokens=6)
+    )
+    eng4 = make_engine(params, "factored", cfg, factor_dtype="int4")
+    out_i4 = np.asarray(eng4.generate(prompt, max_new_tokens=6))
+    assert (out_f32 == out_i4).mean() >= 0.7
+
+    eng4p = make_engine(
+        params, "factored", cfg, factor_dtype="int4",
+        attention_impl="pallas",
+    )
+    out_i4p = np.asarray(eng4p.generate(prompt, max_new_tokens=6))
+    np.testing.assert_array_equal(out_i4, out_i4p)
+
+    # The sequence-proportional us stream (what decode bandwidth pays for)
+    # shrinks; the duplicated small vt/scale bases are s-independent.
+    # Explicit rank below the row count so factorize doesn't clip the
+    # int4 tail away at this tiny sequence length.
+    cfg16 = xkv_cfg(rank_k=16, rank_v=16)
+    _, c4 = make_engine(
+        params, "factored", cfg16, factor_dtype="int4"
+    ).prefill(prompt)
+    _, c8 = make_engine(
+        params, "factored", cfg16, factor_dtype="int8"
+    ).prefill(prompt)
+
+    def us_bytes(c):
+        g = c.groups[0]
+        total = 0
+        for f in (g.k_us, g.k_us4, g.v_us, g.v_us4):
+            if f is not None:
+                total += f.size * f.dtype.itemsize
+        return total
+
+    assert us_bytes(c4) < 0.7 * us_bytes(c8)
+
+
+def test_int4_refactorize_runs(params, prompt):
+    """Tail folds re-quantize into the mixed format and generation
+    continues (same rank split)."""
+    cfg = xkv_cfg()
+    eng = make_engine(params, "factored", cfg, factor_dtype="int4",
+                      tail_max=4)
+    out = np.asarray(eng.generate(prompt, max_new_tokens=10))
+    assert out.shape == (2, 10)
+
+
+def test_int4_validation():
+    params_l = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pre_cfg = xkv_cfg(rope_mode="pre")
+    with pytest.raises(ValueError, match="rope_mode='post'"):
+        make_engine(params_l, "factored", pre_cfg, factor_dtype="int4")
+    cfg = xkv_cfg()
+    with pytest.raises(ValueError, match="sparse_topk"):
+        make_engine(params_l, "factored", cfg, factor_dtype="int4",
+                    sparse_topk=4)
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    with pytest.raises(ValueError, match="single-stream"):
+        BatchedEngine(params_l, CFG, xkv=cfg, num_slots=2, s_max=16,
+                      tail_max=4, prefill_buckets=[16],
+                      factor_dtype="int4")

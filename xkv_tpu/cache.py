@@ -75,6 +75,15 @@ class GroupFactors:
     v_vt: Optional[jax.Array] = None  # (b, rv, g*hkv*hd)
     k_scale: Optional[jax.Array] = None  # (b, 1, g*hkv*hd) fp32 (int8 only)
     v_scale: Optional[jax.Array] = None  # (b, 1, rv) fp32 (int8 only)
+    # Mixed int8+int4 storage (factor_dtype="int4", rope_mode="post" only;
+    # compress/quant.py packed-nibble format): k_us/v_us hold the int8 top
+    # ranks, *_us4 the packed int4 tail, k_vt4/k_scale4 the tail's basis
+    # and column scale. v_vt / v_scale are stored in the kernel's
+    # [hi | lo-evens | lo-odds] rank order, so no runtime permutation.
+    k_us4: Optional[jax.Array] = None  # (b, s_p, r_lo_k/2) int8 packed
+    k_vt4: Optional[jax.Array] = None  # (b, r_lo_k, g*hkv*hd) int8 (eo rows)
+    k_scale4: Optional[jax.Array] = None  # (b, 1, g*hkv*hd) fp32
+    v_us4: Optional[jax.Array] = None  # (b, s_p, r_lo_v/2) int8 packed
     # MLA only: per-layer inverse rms of the (lossy) reconstructed latent,
     # (b, g, s_p) fp32. rms_norm's nonlinearity is a per-row scalar, so
     # precomputing it at compression time lets absorbed MLA decode run in
@@ -172,6 +181,8 @@ class XKVCache:
                 k_us=rep(g.k_us, 0), k_vt=rep(g.k_vt, 0),
                 v_us=rep(g.v_us, 0), v_vt=rep(g.v_vt, 0),
                 k_scale=rep(g.k_scale, 0), v_scale=rep(g.v_scale, 0),
+                k_us4=rep(g.k_us4, 0), k_vt4=rep(g.k_vt4, 0),
+                k_scale4=rep(g.k_scale4, 0), v_us4=rep(g.v_us4, 0),
                 k_rnorm=rep(g.k_rnorm, 0),
                 k_cmin=rep(g.k_cmin, 0), k_cmax=rep(g.k_cmax, 0),
                 slerp_k=rep_sc(g.slerp_k), slerp_v=rep_sc(g.slerp_v),

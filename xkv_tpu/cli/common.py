@@ -61,7 +61,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--svd_method", type=str, default="randomized",
                         choices=["exact", "randomized"])
     parser.add_argument("--factor_dtype", type=str, default="bf16",
-                        choices=["bf16", "fp32", "int8"],
+                        choices=["bf16", "fp32", "int8", "int4"],
                         help="low-rank factor storage dtype (int8 = quantized)")
     parser.add_argument("--speculative_k", type=int, default=None,
                         help="speculative decoding: draft N tokens with the "
@@ -157,7 +157,8 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
 
         mesh = make_mesh(model=args.mesh_model)
     factor_dtype = {
-        "bf16": jnp.bfloat16, "fp32": jnp.float32, "int8": "int8"
+        "bf16": jnp.bfloat16, "fp32": jnp.float32, "int8": "int8",
+        "int4": "int4",
     }[getattr(args, "factor_dtype", "bf16")]
     kw.setdefault("factor_dtype", factor_dtype)
     if getattr(args, "sparse_topk", None) and mode == "factored":

@@ -241,6 +241,13 @@ class XKVConfig:
         return mode
 
     @property
+    def int4_rank_frac(self) -> float:
+        """Mixed int8+int4 factors (factor_dtype="int4"): fraction of each
+        group's ranks kept at int8 (the top singular directions); the tail
+        drops to packed int4 (compress/quant.py, SVDq-style)."""
+        return float(self.extra_kwargs.get("int4_rank_frac", 0.25))
+
+    @property
     def slerp_compact(self) -> bool:
         """Store slerp-merged layers compactly (shared direction + norms +
         exception rows) instead of dense — the memory saving the reference's

@@ -84,6 +84,12 @@ class BatchedEngine:
                 "compact slerp storage is single-stream only "
                 "(batched slots store slerp layers dense)"
             )
+        if factor_dtype == "int4":
+            raise ValueError(
+                "mixed int8+int4 factors are single-stream only for now "
+                "(batched slot insertion copies int8/bf16 factor layouts); "
+                "use factor_dtype='int8' for continuous batching"
+            )
         self._model = model_module
         self._mla = cfg.model_type == "deepseek_v2"
         self._quantized = factor_dtype in ("int8", jnp.int8)

@@ -185,6 +185,19 @@ def build_cache(
 
         if xkv.layer_merge_impl == "svd":
             quantize = factor_dtype in ("int8", jnp.int8)
+            mixed4 = factor_dtype == "int4"
+            if mixed4 and not rope_post:
+                raise ValueError(
+                    "factor_dtype='int4' (mixed int8+int4) requires "
+                    "rope_mode='post' (the rank-space decode path)"
+                )
+
+            def _r_hi(rank):
+                hi = max(2, int(rank * xkv.int4_rank_frac))
+                if (rank - hi) % 2:
+                    hi += 1
+                return min(hi, rank)
+
             gf_kwargs = {}
             if xkv.merge_key:
                 if rope_post:
@@ -201,6 +214,19 @@ def build_cache(
                             kr.astype(cache_dtype) if rope_post
                             else rope_dense_k(kr)
                         )
+                elif mixed4:
+                    from xkv_tpu.compress.quant import (
+                        quantize_k_factors_mixed4,
+                    )
+
+                    qk4 = quantize_k_factors_mixed4(
+                        fac_k.us, fac_k.vt, _r_hi(grp.rank_k)
+                    )
+                    gf_kwargs.update(
+                        k_us=qk4.us8, k_us4=qk4.us4p, k_vt=qk4.vt8,
+                        k_vt4=qk4.vt4, k_scale=qk4.out_scale,
+                        k_scale4=qk4.scale4,
+                    )
                 elif quantize:
                     from xkv_tpu.compress.quant import (
                         dequantize_k,
@@ -253,6 +279,18 @@ def build_cache(
                     )
                     for l, vr in zip(layers, v_rec):
                         dense_v[l] = vr.astype(cache_dtype)
+                elif mixed4:
+                    from xkv_tpu.compress.quant import (
+                        quantize_v_factors_mixed4,
+                    )
+
+                    qv4 = quantize_v_factors_mixed4(
+                        fac_v.us, fac_v.vt, _r_hi(grp.rank_v)
+                    )
+                    gf_kwargs.update(
+                        v_us=qv4.us8, v_us4=qv4.us4p,
+                        v_scale=qv4.rank_scale, v_vt=qv4.vt,
+                    )
                 elif quantize:
                     from xkv_tpu.compress.quant import quantize_v_factors
 
@@ -413,7 +451,17 @@ def refactorize_cache(
         layers = grp.layers
         kw = {}
         if gf.k_us is not None:
-            if gf.k_scale is not None:
+            if gf.k_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    QuantizedKFactorsMixed4,
+                    dequantize_k_mixed4,
+                )
+
+                k_mat = dequantize_k_mixed4(QuantizedKFactorsMixed4(
+                    gf.k_us, gf.k_us4, gf.k_vt, gf.k_vt4,
+                    gf.k_scale, gf.k_scale4,
+                ))
+            elif gf.k_scale is not None:
                 k_mat = dequantize_k(
                     QuantizedKFactors(gf.k_us, gf.k_vt, gf.k_scale)
                 )
@@ -427,7 +475,20 @@ def refactorize_cache(
             )
             k_ext = jnp.concatenate([k_mat, tail_pre], axis=1)
             fac_k = factorize(k_ext, grp.rank_k, **svd_kw)
-            if quantized:
+            if gf.k_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    quantize_k_factors_mixed4,
+                )
+
+                qk4 = quantize_k_factors_mixed4(
+                    fac_k.us, fac_k.vt, gf.k_us.shape[2]
+                )
+                kw.update(
+                    k_us=qk4.us8, k_us4=qk4.us4p, k_vt=qk4.vt8,
+                    k_vt4=qk4.vt4, k_scale=qk4.out_scale,
+                    k_scale4=qk4.scale4,
+                )
+            elif quantized:
                 from xkv_tpu.compress.quant import quantize_k_factors
 
                 qk = quantize_k_factors(fac_k.us, fac_k.vt)
@@ -464,7 +525,16 @@ def refactorize_cache(
                 kw["k_cmin"] = cmin.astype(gf.k_cmin.dtype)
                 kw["k_cmax"] = cmax.astype(gf.k_cmax.dtype)
         if gf.v_us is not None:
-            if gf.v_scale is not None:
+            if gf.v_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    QuantizedVFactorsMixed4,
+                    dequantize_v_mixed4,
+                )
+
+                v_mat = dequantize_v_mixed4(QuantizedVFactorsMixed4(
+                    gf.v_us, gf.v_us4, gf.v_scale, gf.v_vt
+                ))
+            elif gf.v_scale is not None:
                 v_mat = dequantize_v(
                     QuantizedVFactors(gf.v_us, gf.v_scale, gf.v_vt)
                 )
@@ -478,7 +548,19 @@ def refactorize_cache(
             )
             v_ext = jnp.concatenate([v_mat, tail_v], axis=1)
             fac_v = factorize(v_ext, grp.rank_v, **svd_kw)
-            if quantized:
+            if gf.v_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    quantize_v_factors_mixed4,
+                )
+
+                qv4 = quantize_v_factors_mixed4(
+                    fac_v.us, fac_v.vt, gf.v_us.shape[2]
+                )
+                kw.update(
+                    v_us=qv4.us8, v_us4=qv4.us4p,
+                    v_scale=qv4.rank_scale, v_vt=qv4.vt,
+                )
+            elif quantized:
                 from xkv_tpu.compress.quant import quantize_v_factors
 
                 qv = quantize_v_factors(fac_v.us, fac_v.vt)
@@ -614,11 +696,24 @@ def refactorize_slot_cache(
         kw = dict(
             k_us=gf.k_us, k_vt=gf.k_vt, k_scale=gf.k_scale,
             v_us=gf.v_us, v_vt=gf.v_vt, v_scale=gf.v_scale,
+            k_us4=gf.k_us4, k_vt4=gf.k_vt4, k_scale4=gf.k_scale4,
+            v_us4=gf.v_us4,
             k_rnorm=gf.k_rnorm,
             k_cmin=gf.k_cmin, k_cmax=gf.k_cmax,
         )
         if gf.k_us is not None:
-            if gf.k_scale is not None:
+            if gf.k_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    QuantizedKFactorsMixed4,
+                    dequantize_k_mixed4,
+                )
+
+                k_mat = dequantize_k_mixed4(QuantizedKFactorsMixed4(
+                    take(gf.k_us, 0), take(gf.k_us4, 0), take(gf.k_vt, 0),
+                    take(gf.k_vt4, 0), take(gf.k_scale, 0),
+                    take(gf.k_scale4, 0),
+                ))
+            elif gf.k_scale is not None:
                 k_mat = dequantize_k(QuantizedKFactors(
                     take(gf.k_us, 0), take(gf.k_vt, 0), take(gf.k_scale, 0)
                 ))
@@ -633,7 +728,23 @@ def refactorize_slot_cache(
             )  # (1, t, g*hkv*hd)
             k_ext = jax.lax.dynamic_update_slice(k_mat, tail_pre, (0, plen, 0))
             fac_k = factorize(k_ext, grp.rank_k, **svd_kw)
-            if gf.k_scale is not None:
+            if gf.k_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    quantize_k_factors_mixed4,
+                )
+
+                qk4 = quantize_k_factors_mixed4(
+                    fac_k.us, fac_k.vt, gf.k_us.shape[2]
+                )
+                kw.update(
+                    k_us=put(gf.k_us, qk4.us8, 0),
+                    k_us4=put(gf.k_us4, qk4.us4p, 0),
+                    k_vt=put(gf.k_vt, qk4.vt8, 0),
+                    k_vt4=put(gf.k_vt4, qk4.vt4, 0),
+                    k_scale=put(gf.k_scale, qk4.out_scale, 0),
+                    k_scale4=put(gf.k_scale4, qk4.scale4, 0),
+                )
+            elif gf.k_scale is not None:
                 qk = quantize_k_factors(fac_k.us, fac_k.vt)
                 kw.update(
                     k_us=put(gf.k_us, qk.us_q, 0),
@@ -676,7 +787,17 @@ def refactorize_slot_cache(
                 kw["k_cmin"] = put(gf.k_cmin, cmin, 0)
                 kw["k_cmax"] = put(gf.k_cmax, cmax, 0)
         if gf.v_us is not None:
-            if gf.v_scale is not None:
+            if gf.v_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    QuantizedVFactorsMixed4,
+                    dequantize_v_mixed4,
+                )
+
+                v_mat = dequantize_v_mixed4(QuantizedVFactorsMixed4(
+                    take(gf.v_us, 0), take(gf.v_us4, 0),
+                    take(gf.v_scale, 0), take(gf.v_vt, 0),
+                ))
+            elif gf.v_scale is not None:
                 v_mat = dequantize_v(QuantizedVFactors(
                     take(gf.v_us, 0), take(gf.v_scale, 0), take(gf.v_vt, 0)
                 ))
@@ -690,7 +811,21 @@ def refactorize_slot_cache(
             )
             v_ext = jax.lax.dynamic_update_slice(v_mat, tail_v, (0, plen, 0))
             fac_v = factorize(v_ext, grp.rank_v, **svd_kw)
-            if gf.v_scale is not None:
+            if gf.v_us4 is not None:
+                from xkv_tpu.compress.quant import (
+                    quantize_v_factors_mixed4,
+                )
+
+                qv4 = quantize_v_factors_mixed4(
+                    fac_v.us, fac_v.vt, gf.v_us.shape[2]
+                )
+                kw.update(
+                    v_us=put(gf.v_us, qv4.us8, 0),
+                    v_us4=put(gf.v_us4, qv4.us4p, 0),
+                    v_scale=put(gf.v_scale, qv4.rank_scale, 0),
+                    v_vt=put(gf.v_vt, qv4.vt, 0),
+                )
+            elif gf.v_scale is not None:
                 qv = quantize_v_factors(fac_v.us, fac_v.vt)
                 kw.update(
                     v_us=put(gf.v_us, qv.us_q, 0),

@@ -62,6 +62,24 @@ class InferenceEngine:
                     "sparse_topk is llama-family only (MLA's absorbed decode "
                     "is already rank-space)"
                 )
+            if factor_dtype == "int4":
+                raise ValueError(
+                    "sparse_topk with mixed int8+int4 factors is not "
+                    "supported yet (the sparse kernel streams int8/bf16 "
+                    "us blocks); use factor_dtype='int8'"
+                )
+        if factor_dtype == "int4":
+            if cfg.model_type == "deepseek_v2":
+                raise ValueError(
+                    "factor_dtype='int4' is llama-family rope_mode='post' "
+                    "only for now; MLA uses int8 factors"
+                )
+            if xkv is not None and mode == "factored" \
+                    and xkv.rope_mode != "post":
+                raise ValueError(
+                    "factor_dtype='int4' requires rope_mode='post' "
+                    "(rank-space decode; docs/ROPE_MODES.md)"
+                )
         self.sparse_topk = sparse_topk
         self.sparse_block = sparse_block
         self._sparse_kw = (

@@ -286,6 +286,32 @@ def _post_rope_factored_part(
     vt_k = vt_layer_slice(gf.k_vt, gpos, hkv, hd)
     vt_v = vt_layer_slice(gf.v_vt, gpos, hkv, hd)
 
+    if gf.k_us4 is not None:
+        # Mixed int8+int4 factors (factor_dtype='int4'): packed-nibble
+        # kernel or the XLA mixed path. Sparse/TP combos are engine-gated.
+        kw4 = dict(
+            k_us4=gf.k_us4,
+            k_vt4_slice=vt_layer_slice(gf.k_vt4, gpos, hkv, hd),
+            k_scale4_slice=vt_layer_slice(gf.k_scale4, gpos, hkv, hd),
+            v_us4=gf.v_us4,
+        )
+        if attention_impl == "pallas" and pallas_ok and mesh is None:
+            from xkv_tpu.ops.pallas.rankspace_attention import (
+                rankspace_decode_attention,
+            )
+
+            out, lse = rankspace_decode_attention(
+                q, gf.k_us, vt_k, gf.v_us, vt_v, lengths,
+                k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+                scale=scale, num_kv_heads=hkv, **kw4,
+            )
+            return PartialAttention(out=out, lse=lse)
+        return rankspace_decode_attention_xla(
+            q, gf.k_us, vt_k, gf.v_us, vt_v, scale, hkv,
+            k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+            valid_len=lengths, **kw4,
+        )
+
     if sparse_ok:
         nc = gf.k_cmin.shape[1]
         blk = sparse_block

@@ -219,9 +219,18 @@ def rankspace_decode_attention_xla(
     k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 K scale
     v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv) int8 V scale
     valid_len: Optional[jax.Array] = None,
+    k_us4: Optional[jax.Array] = None,  # packed int4 tail (mixed storage)
+    k_vt4_slice: Optional[jax.Array] = None,
+    k_scale4_slice: Optional[jax.Array] = None,
+    v_us4: Optional[jax.Array] = None,
 ) -> PartialAttention:
     """Decode attention over POST-RoPE factors (rope_mode="post") entirely
     in rank space — K is never reconstructed.
+
+    With ``k_us4``/``v_us4`` (mixed int8+int4 packed storage,
+    compress/quant.py) the int4 tail is unpacked and contracted alongside
+    the int8 top ranks; v_vt_slice/v_rank_scale are expected in the
+    stored [hi | lo-evens | lo-odds] rank order.
 
     The factors store the rotated keys, so
         scores = q . K^T = (q . vt^T) . us^T
@@ -240,17 +249,31 @@ def rankspace_decode_attention_xla(
     rv = v_us.shape[2]
     s_p = k_us.shape[1]
 
-    vt_k = k_vt_slice.astype(jnp.float32)
-    if k_scale_slice is not None:
-        vt_k = vt_k * k_scale_slice.astype(jnp.float32)  # dequant columns
-    vt_k = vt_k.reshape(b, rk, hkv, hd)
-    qg = q.astype(jnp.float32).reshape(b, hkv, gsz, ql, hd)
-    # q -> rank space through this layer's (dequantized) V^T columns.
-    q_emb = jnp.einsum("bgnqd,brgd->bgnqr", qg, vt_k) * scale
+    def q_to_rank(vt_slice, col_scale):
+        vt_f = vt_slice.astype(jnp.float32)
+        if col_scale is not None:
+            vt_f = vt_f * col_scale.astype(jnp.float32)
+        vt_f = vt_f.reshape(b, vt_slice.shape[1], hkv, hd)
+        qg = q.astype(jnp.float32).reshape(b, hkv, gsz, ql, hd)
+        return jnp.einsum("bgnqd,brgd->bgnqr", qg, vt_f) * scale
+
+    q_emb = q_to_rank(k_vt_slice, k_scale_slice)
     scores = jnp.einsum(
         "bgnqr,bsr->bgnqs", q_emb, k_us.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ).reshape(b, hq, ql, s_p)
+    )
+    mixed = k_us4 is not None
+    if mixed:
+        from xkv_tpu.compress.quant import unpack_int4_pairs
+
+        q_emb4 = q_to_rank(k_vt4_slice, k_scale4_slice)
+        ev, od = unpack_int4_pairs(k_us4)
+        us_lo = jnp.concatenate([ev, od], axis=-1).astype(jnp.float32)
+        scores = scores + jnp.einsum(
+            "bgnqr,bsr->bgnqs", q_emb4, us_lo,
+            preferred_element_type=jnp.float32,
+        )
+    scores = scores.reshape(b, hq, ql, s_p)
 
     if valid_len is not None:
         mask = (jnp.arange(s_p)[None, :] < valid_len[:, None])[:, None, None, :]
@@ -264,14 +287,22 @@ def rankspace_decode_attention_xla(
     p = e / jnp.maximum(l, 1e-30)
 
     # Value side in rank space: (P @ v_us) @ v_vt  (V has no RoPE).
+    v_us_f = v_us.astype(jnp.float32)
+    if mixed:
+        ev, od = unpack_int4_pairs(v_us4)
+        v_us_f = jnp.concatenate(
+            [v_us_f, ev.astype(jnp.float32), od.astype(jnp.float32)],
+            axis=-1,
+        )  # [hi | lo-eo] — matches stored v_vt/v_rank_scale order
+    rv_tot = v_us_f.shape[2]
     t = jnp.einsum(
-        "bhqs,bsr->bhqr", p, v_us.astype(jnp.float32),
+        "bhqs,bsr->bhqr", p, v_us_f,
         preferred_element_type=jnp.float32,
-    )  # (b, hq, ql, rv)
+    )  # (b, hq, ql, rv_tot)
     if v_rank_scale is not None:
         t = t * v_rank_scale.astype(jnp.float32)[:, None]  # (b,1,rv)->(b,1,1,rv)
-    vt_v = v_vt_slice.astype(jnp.float32).reshape(b, rv, hkv, hd)
-    tg = t.reshape(b, hkv, gsz, ql, rv)
+    vt_v = v_vt_slice.astype(jnp.float32).reshape(b, rv_tot, hkv, hd)
+    tg = t.reshape(b, hkv, gsz, ql, rv_tot)
     out = jnp.einsum("bgnqr,brgd->bgnqd", tg, vt_v).reshape(b, hq, ql, hd)
     lse = jnp.squeeze(m_safe, -1) + jnp.log(jnp.maximum(jnp.squeeze(l, -1), 1e-30))
     return PartialAttention(out=out, lse=lse)

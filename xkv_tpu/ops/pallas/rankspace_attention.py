@@ -128,6 +128,93 @@ def _rankspace_kernel(
     )
 
 
+def _unpack_nibbles(packed_i8, compute_dtype):
+    """(block_s, r_lo/2) int8 packed pairs -> (block_s, r_lo) in
+    [evens | odds] rank order (compress/quant.py nibble layout)."""
+    x = packed_i8.astype(jnp.int32)
+    hi = x >> 4  # arithmetic shift sign-extends the high nibble
+    lo = ((x & 0xF) ^ 8) - 8  # sign-extend the low nibble
+    return jnp.concatenate([hi, lo], axis=1).astype(compute_dtype)
+
+
+def _rankspace_mixed_kernel(
+    q_emb_ref,  # (1, R, r_hi_k + r_lo_k) — [hi | lo-eo] columns, scales folded
+    len_ref,  # (b, 1) int32 SMEM
+    k_us8_ref,  # (1, block_s, r_hi_k) int8
+    k_us4_ref,  # (1, block_s, r_lo_k/2) int8 packed nibbles
+    v_us8_ref,  # (1, block_s, r_hi_v) int8
+    v_us4_ref,  # (1, block_s, r_lo_v/2) int8 packed
+    t_ref,  # (1, R, rv) out — rank order [hi | lo-eo]
+    lse_ref,
+    m_scratch,
+    l_scratch,
+    t_scratch,
+    *,
+    block_s: int,
+):
+    """Mixed int8+int4 variant: unpack the int4 tail nibbles in VMEM (two
+    shifts + a lane concat), then the same two GEMMs as the int8 kernel —
+    the HBM stream shrinks ~1.6x, which is what the bandwidth-bound decode
+    pays for."""
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        t_scratch[...] = jnp.zeros_like(t_scratch)
+
+    compute_dtype = q_emb_ref.dtype
+    k_all = jnp.concatenate(
+        [
+            k_us8_ref[0].astype(compute_dtype),
+            _unpack_nibbles(k_us4_ref[0], compute_dtype),
+        ],
+        axis=1,
+    )  # (block_s, r_hi_k + r_lo_k)
+    s = jax.lax.dot_general(
+        q_emb_ref[0], k_all,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col_mask = (
+        si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+    ) < len_ref[bi, 0]
+    s = jnp.where(col_mask, s, NEG_INF)
+
+    m_prev = m_scratch[...][:, :1]
+    l_prev = l_scratch[...][:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.where(col_mask, jnp.exp(s - m_next), 0.0)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+    v_all = jnp.concatenate(
+        [
+            v_us8_ref[0].astype(compute_dtype),
+            _unpack_nibbles(v_us4_ref[0], compute_dtype),
+        ],
+        axis=1,
+    )  # (block_s, rv) in [hi | lo-eo] order — matches stored vt/scale
+    t_curr = jnp.dot(
+        p.astype(compute_dtype), v_all, preferred_element_type=jnp.float32
+    )
+    t_scratch[...] = t_scratch[...] * alpha + t_curr
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _store():
+        m_fin = m_scratch[...][:, :1]
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        t_ref[0] = (t_scratch[...] * l_inv).astype(t_ref.dtype)
+        lse = (m_fin + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
 def _rankspace_sparse_kernel(
     ids_ref,  # (b, n_sel) int32 scalar-prefetch
     q_emb_ref, len_ref, k_us_ref, v_us_ref, t_ref, lse_ref,
@@ -202,6 +289,10 @@ def rankspace_decode_attention(
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill length
     k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 K scale
     v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv) int8 V scale
+    k_us4: Optional[jax.Array] = None,  # (b, s_p, r_lo_k/2) packed int4 tail
+    k_vt4_slice: Optional[jax.Array] = None,  # (b, r_lo_k, hkv*hd) eo rows
+    k_scale4_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd)
+    v_us4: Optional[jax.Array] = None,  # (b, s_p, r_lo_v/2) packed int4 tail
     *,
     scale: float,
     num_kv_heads: int,
@@ -210,7 +301,10 @@ def rankspace_decode_attention(
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused rank-space decode attention over post-RoPE factors (module
     docstring). ql > 1 runs every (position, head) pair as an independent
-    row (the speculative multi-token verify). Returns (out (b, hq, ql, hd),
+    row (the speculative multi-token verify). With ``k_us4``/``v_us4`` the
+    mixed int8+int4 kernel runs (packed tail nibbles unpacked in VMEM;
+    v_vt_slice/v_rank_scale must be in the stored [hi | lo-eo] rank
+    order — compress/quant.py). Returns (out (b, hq, ql, hd),
     lse (b, hq, ql)) — a PartialAttention pair mergeable with the tail."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -219,54 +313,96 @@ def rankspace_decode_attention(
     rk = k_us.shape[2]
     rv = v_us.shape[2]
     R = ql * hq
+    mixed = k_us4 is not None
 
     compute_dtype = (
-        jnp.float32 if k_us.dtype == jnp.float32 else jnp.bfloat16
+        jnp.float32 if k_us.dtype == jnp.float32 and not mixed else jnp.bfloat16
     )
     q_emb = _project_q(
         q, k_vt_slice, num_kv_heads, scale, k_scale_slice, compute_dtype
     )
+    if mixed:
+        q_emb4 = _project_q(
+            q, k_vt4_slice, num_kv_heads, scale, k_scale4_slice, compute_dtype
+        )
+        q_emb = jnp.concatenate([q_emb, q_emb4], axis=2)
+        rk_tot = q_emb.shape[2]
+        rv_tot = rv + 2 * v_us4.shape[2]
+    else:
+        rk_tot, rv_tot = rk, rv
 
     block_s = min(block_s, s_p)
     s_pad = pl.cdiv(s_p, block_s) * block_s
     if s_pad != s_p:
-        k_us = jnp.pad(k_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
-        v_us = jnp.pad(v_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        pad = ((0, 0), (0, s_pad - s_p), (0, 0))
+        k_us = jnp.pad(k_us, pad)
+        v_us = jnp.pad(v_us, pad)
+        if mixed:
+            k_us4 = jnp.pad(k_us4, pad)
+            v_us4 = jnp.pad(v_us4, pad)
     grid_s = s_pad // block_s
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
     lengths = lengths.reshape(b, 1).astype(jnp.int32)
 
-    kernel = functools.partial(_rankspace_kernel, block_s=block_s)
-    t, lse = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, R, rv), jnp.float32),
-            jax.ShapeDtypeStruct((b, 8, R), jnp.float32),
-        ),
-        grid=(b, grid_s),
-        in_specs=[
-            pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
-            pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, R, rv), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((1, 8, R), lambda bi, si: (bi, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.VMEM((R, rv), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(q_emb, lengths, k_us, v_us)
+    out_shape = (
+        jax.ShapeDtypeStruct((b, R, rv_tot), jnp.float32),
+        jax.ShapeDtypeStruct((b, 8, R), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, R, rv_tot), lambda bi, si: (bi, 0, 0)),
+        pl.BlockSpec((1, 8, R), lambda bi, si: (bi, 0, 0)),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((R, 128), jnp.float32),
+        pltpu.VMEM((R, 128), jnp.float32),
+        pltpu.VMEM((R, rv_tot), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    if mixed:
+        kernel = functools.partial(_rankspace_mixed_kernel, block_s=block_s)
+        t, lse = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(b, grid_s),
+            in_specs=[
+                pl.BlockSpec((1, R, rk_tot), lambda bi, si: (bi, 0, 0)),
+                pl.BlockSpec((b, 1), lambda bi, si: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, block_s, k_us4.shape[2]),
+                             lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, block_s, v_us4.shape[2]),
+                             lambda bi, si: (bi, si, 0)),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(q_emb, lengths, k_us, k_us4, v_us, v_us4)
+    else:
+        kernel = functools.partial(_rankspace_kernel, block_s=block_s)
+        t, lse = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(b, grid_s),
+            in_specs=[
+                pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
+                pl.BlockSpec((b, 1), lambda bi, si: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(q_emb, lengths, k_us, v_us)
 
     out = _project_out(t, v_vt_slice, v_rank_scale, num_kv_heads, ql, q.dtype)
     lse = jnp.transpose(lse[:, 0, :].reshape(b, ql, hq), (0, 2, 1))
