@@ -87,3 +87,28 @@ def test_post_degrades_faster_past_operating_point(trained_params):
     a_post = recall(trained_params, 4, "post")
     assert a_pre < 0.9 and a_post < 0.9  # both clearly degraded
     assert a_post <= a_pre + 0.05  # post never mysteriously better here
+
+
+def test_int4_mixed_accuracy_neutral_at_operating_point(trained_params):
+    """Mixed int8+int4 factors at ~12x rank compression: within noise of
+    fp32 factors (the int4 tail holds the lowest singular energy —
+    docs/ROPE_MODES.md table, measured 2026-08-21)."""
+    a_f32 = recall(trained_params, 8, "post")
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1,
+        group_size=2, rank_k=8, rank_v=8,
+        extra_kwargs={"svd_method": "exact", "rope_mode": "post"},
+    )
+    eng = InferenceEngine(
+        params=trained_params, cfg=CFG, xkv=xkv, mode="factored",
+        tail_max=M, donate_cache=False, cache_dtype=jnp.float32,
+        factor_dtype="int4",
+    )
+    rng = np.random.default_rng(123)
+    x = rng.integers(2, CFG.vocab_size, size=(32, M)).astype(np.int32)
+    prompts = np.concatenate(
+        [np.ones((32, 1), np.int32), x, x[:, :4]], axis=1
+    )
+    out = np.asarray(eng.generate(prompts, max_new_tokens=M - 4))
+    a_i4 = float((out == x[:, 4:]).mean())
+    assert a_i4 >= a_f32 - 0.05, f"int4 {a_i4} vs f32 {a_f32}"
