@@ -33,8 +33,24 @@ def main():
 
     prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 512), 0, cfg.vocab_size)
 
-    for mode, xcfg in [("none", None), ("factored", xkv), ("fake", xkv)]:
-        eng = InferenceEngine(params, cfg, xkv=xcfg, mode=mode, tail_max=64)
+    # rank-space decode variant (docs/ROPE_MODES.md): rotate keys before
+    # the SVD; decode never reconstructs. int8 factors for extra headroom.
+    xkv_post = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=-1, group_size=4,
+        rank_k=64, rank_v=96, extra_kwargs={"rope_mode": "post"},
+    )
+
+    runs = [
+        ("none", None, {}),
+        ("factored", xkv, {}),
+        ("fake", xkv, {}),
+        ("factored", xkv_post, {"factor_dtype": "int8",
+                                "_label": "rope=post int8"}),
+    ]
+    for mode, xcfg, extra in runs:
+        label = extra.pop("_label", mode)
+        eng = InferenceEngine(params, cfg, xkv=xcfg, mode=mode, tail_max=64,
+                              **extra)
         t0 = time.perf_counter()
         _, cache = eng.prefill(prompt)
         jax.block_until_ready(cache.tail_k)
@@ -44,7 +60,7 @@ def main():
         t2 = time.perf_counter()
         ratio = cache.compression_ratio(cfg)
         print(
-            f"mode={mode:9s} prefill+compress {t1-t0:6.2f}s  "
+            f"mode={label:16s} prefill+compress {t1-t0:6.2f}s  "
             f"generate(32) {t2-t1:6.2f}s  KV compression {ratio:5.2f}x  "
             f"tokens {out[0][:8].tolist()}..."
         )
