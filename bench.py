@@ -403,6 +403,20 @@ def main():
         tps_sp = measure_decode(eng_sp, prompt, b_fact, steps)
         record["sparse_topk_tokens_per_s"] = round(tps_sp, 2)
         record["sparse_topk_vs_baseline"] = round(tps_sp / tps_none, 3)
+    # Supplementary: mixed int8+int4 packed factors at the same batch
+    # (docs/ROPE_MODES.md — accuracy-neutral at the operating compression
+    # on the offline gate; ~26x total KV compression).
+    if (args.rope_mode == "post" and args.factor_dtype == "int8"
+            and not (args.quick or args.matched or args.only or args.mla)):
+        eng_i4 = InferenceEngine(
+            params, cfg, xkv=xkv, mode="factored", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            factor_dtype="int4", prefill_logits="last",
+        )
+        tps_i4 = measure_decode(eng_i4, prompt, b_fact, steps)
+        record["int4_tokens_per_s"] = round(tps_i4, 2)
+        record["int4_vs_baseline"] = round(tps_i4 / tps_none, 3)
+        del eng_i4
     # Supplementary: the reference-semantics pre-RoPE scheme at the same
     # serving batch (reconstruction kernel), when the headline is post.
     if (args.rope_mode == "post" and not args.no_pre_extra

@@ -194,9 +194,21 @@ def build_cache(
 
             def _r_hi(rank):
                 hi = max(2, int(rank * xkv.int4_rank_frac))
-                if (rank - hi) % 2:
-                    hi += 1
-                return min(hi, rank)
+                lo = rank - hi
+                # Lane alignment: the PACKED width (lo/2) must tile the
+                # 128-lane registers exactly at production ranks, or XLA
+                # stores the array in a padded layout and inserts a
+                # per-decode-step uncompress copy of the whole us4 stream
+                # (measured: +3.8 GB HBM temps at 64K x batch 48 -> OOM).
+                # Round the tail DOWN to a 256-rank multiple (packed 128);
+                # tiny test ranks just keep an even tail.
+                if rank >= 512:
+                    lo = (lo // 256) * 256
+                    if lo == 0:
+                        lo = 256
+                else:
+                    lo -= lo % 2
+                return rank - lo
 
             gf_kwargs = {}
             if xkv.merge_key:
