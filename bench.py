@@ -289,11 +289,13 @@ def main():
     tail = max(steps, vsteps * args.verify_ql if want_verify else 0) + 8
 
     if args.mla:
-        # MLA prefill/decode run the absorbed XLA path regardless of the
-        # flag (engine._prefill_impl does the same for the mesh case);
-        # force it here so the metric string doesn't mislabel the kernel
-        # (ADVICE r1).
-        attention_impl = "xla"
+        # Round 2: MLA decode has a fused rank-space kernel
+        # (mla_rankspace_decode_attention); prefill still runs the
+        # blockwise XLA path (engine handles the split internally).
+        attention_impl = (
+            args.attention_impl
+            or ("pallas" if jax.default_backend() == "tpu" else "xla")
+        )
     elif args.attention_impl is None:
         attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     else:
