@@ -508,7 +508,9 @@ def _mla_rankspace_kernel(
     len_ref,  # (b, 1) int32 SMEM
     k_us_ref,  # (1, block_s, rk)
     k_pe_ref,  # (1, block_s, rope)
-    r_ref,  # (1, block_s) fp32 — per-row latent inverse rms
+    r_ref,  # (1, 1, block_s) fp32 — per-row latent inverse rms (the
+            # (b, 1, s) carry shape keeps the trailing block dims
+            # Mosaic-tileable: (1, block_s) of a (b, s) array is not)
     t_ref,  # (1, R, rk) out — segment-normalized rank-space values
     lse_ref,  # (1, 8, R) fp32
     m_scratch,
@@ -530,7 +532,7 @@ def _mla_rankspace_kernel(
     us_blk = k_us_ref[0]
     if us_blk.dtype != compute_dtype:
         us_blk = us_blk.astype(compute_dtype)
-    rr = r_ref[...].astype(jnp.float32)  # (1, block_s)
+    rr = r_ref[0].astype(jnp.float32)  # (1, block_s)
 
     # score = (q_emb . us^T) * r  +  q_pe . k_pe^T   — the r multiplier
     # applies only to the nope (latent) part; both q embeds carry the
@@ -621,6 +623,7 @@ def mla_rankspace_decode_attention(
         k_us = jnp.pad(k_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
         k_pe = jnp.pad(k_pe, ((0, 0), (0, s_pad - s_p), (0, 0)))
         r = jnp.pad(r, ((0, 0), (0, s_pad - s_p)))
+    r3 = r.astype(jnp.float32)[:, None, :]  # (b, 1, s_pad)
     grid_s = s_pad // block_s
 
     if lengths is None:
@@ -641,7 +644,7 @@ def mla_rankspace_decode_attention(
             pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
             pl.BlockSpec((1, block_s, rope), lambda bi, si: (bi, si, 0)),
-            pl.BlockSpec((1, block_s), lambda bi, si: (bi, si)),
+            pl.BlockSpec((1, 1, block_s), lambda bi, si: (bi, 0, si)),
         ],
         out_specs=(
             pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
@@ -657,7 +660,7 @@ def mla_rankspace_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qe, qp, lengths, k_us, k_pe, r.astype(jnp.float32))
+    )(qe, qp, lengths, k_us, k_pe, r3)
 
     t = jnp.transpose(t.reshape(b, ql, nh, rk), (0, 2, 1, 3))
     lse = jnp.transpose(lse[:, 0, :].reshape(b, ql, nh), (0, 2, 1))
