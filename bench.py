@@ -169,6 +169,78 @@ def measure_decode(eng, prompt, batch: int, steps: int,
     return batch / per_step
 
 
+def step_cost(cfg, xkv, cache, params, batch: int):
+    """Roofline accounting for ONE batched decode step: (bytes_moved, flops).
+
+    Bytes: every cache leaf is streamed from HBM once per step per consumer
+    — a group's ``*_us`` factor panels are read by each of the group's
+    layers (they are GBs, far beyond VMEM residency), the shared ``*_vt``
+    bases once per group (each layer takes a disjoint column slice), dense
+    segments and tails once, and the weights once (batch-independent).
+    FLOPs: 2*B*(matmul params) for the dense stack + the attention terms of
+    whichever cache path each layer runs (rank-space factored:
+    2*B*hq*S*(r_k+r_v) dominant; dense: 4*B*hq*S*hd). Both are analytic
+    estimates (no XLA fusion/padding modeled) — good to a few percent,
+    enough to anchor tokens/s to the hardware roofline.
+    """
+    def nbytes(a):
+        return 0 if a is None else a.size * a.dtype.itemsize
+
+    bytes_moved = 0
+    # weights, once per step
+    w_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    bytes_moved += w_bytes
+    # matmul flops ~ 2*B*(params minus embedding); +unembed if tied
+    p_embed = params["embed"].size
+    n_mat = sum(x.size for x in jax.tree.leaves(params)) - p_embed
+    if getattr(cfg, "tie_word_embeddings", True) and "lm_head" not in params:
+        n_mat += p_embed  # tied unembed still does the (hidden, vocab) GEMM
+    flops = 2.0 * batch * n_mat
+
+    groups = list(getattr(cache, "groups", ()) or ())
+    grp_sizes = [len(g.layers) for g in xkv.layer_groups] if xkv else []
+    hq = cfg.num_q_heads
+    for gf, g in zip(groups, grp_sizes):
+        S = gf.k_us.shape[1] if gf.k_us is not None else (
+            gf.v_us.shape[1] if gf.v_us is not None else 0)
+        # us panels re-read per layer of the group; vt/scale once per group
+        for name in ("k_us", "v_us", "k_us4", "v_us4"):
+            bytes_moved += g * nbytes(getattr(gf, name, None))
+        for name in ("k_vt", "v_vt", "k_vt4", "k_scale", "v_scale",
+                     "k_scale4", "k_rnorm", "k_cmin", "k_cmax",
+                     "slerp_k", "slerp_v"):
+            bytes_moved += nbytes(getattr(gf, name, None))
+        r_k = gf.k_us.shape[-1] if gf.k_us is not None else 0
+        if gf.k_us4 is not None:
+            r_k += 2 * gf.k_us4.shape[-1]
+        r_v = gf.v_us.shape[-1] if gf.v_us is not None else 0
+        if gf.v_us4 is not None:
+            r_v += 2 * gf.v_us4.shape[-1]
+        # per layer: q fold (hd*r) + rank-space scores/values over S rows
+        hd = cfg.head_dim
+        flops += g * 2.0 * batch * hq * (
+            S * (r_k + r_v) + hd * (r_k + r_v)
+        )
+    for seg in (getattr(cache, "dense_k", {}) or {},
+                getattr(cache, "dense_v", {}) or {}):
+        for arr in seg.values():
+            bytes_moved += nbytes(arr)
+            # (B, hkv, S, hd) dense attention over this segment
+            S = arr.shape[2]
+            flops += 2.0 * batch * hq * S * cfg.head_dim
+    for t in (cache.tail_k, cache.tail_v):
+        bytes_moved += nbytes(t)
+        flops += 2.0 * batch * hq * t.shape[-2] * cfg.head_dim * cfg.num_layers
+    return bytes_moved, flops
+
+
+# Nominal single-chip peaks for the roofline fields (TPU v5e: 819 GB/s HBM,
+# 197 bf16 TFLOP/s — jax-ml.github.io/scaling-book numbers). Override via
+# --peak-hbm-gbps / --peak-tflops when benching other hardware.
+PEAK_HBM_GBPS = 819.0
+PEAK_TFLOPS = 197.0
+
+
 def measure_verify(eng, cache, first1, pos, batch: int, ql: int,
                    steps: int) -> float:
     """Exact multi-token verify throughput (positions/s): the speculative
@@ -266,6 +338,10 @@ def main():
     ap.add_argument("--no-pre-extra", action="store_true",
                     help="skip the supplementary reference-semantics "
                     "(rope=pre) measurement in the default headline run")
+    ap.add_argument("--peak-hbm-gbps", type=float, default=PEAK_HBM_GBPS,
+                    help="nominal HBM bandwidth for the hbm_util field")
+    ap.add_argument("--peak-tflops", type=float, default=PEAK_TFLOPS,
+                    help="nominal bf16 TFLOP/s for the mfu field")
     ap.add_argument("--verify-ql", type=int, default=8,
                     help="positions per exact multi-token verify step in "
                     "the supplementary speculative-ceiling measurement "
@@ -338,6 +414,7 @@ def main():
             sparse_topk=args.sparse, sparse_block=args.sparse_block,
         )
         prepped = prep_cache(eng_fact, prompt, b_fact)
+        cost_fact = step_cost(cfg, xkv, prepped[0], params, b_fact)
         tps_fact = measure_decode(eng_fact, prompt, b_fact, steps,
                                   prepped=prepped)
         if want_verify:
@@ -355,7 +432,11 @@ def main():
             attention_impl=attention_impl, donate_cache=False,
             prefill_logits="last",
         )
-        tps_none = measure_decode(eng_none, prompt, b_dense, steps)
+        prepped_none = prep_cache(eng_none, prompt, b_dense)
+        cost_none = step_cost(cfg, None, prepped_none[0], params, b_dense)
+        tps_none = measure_decode(eng_none, prompt, b_dense, steps,
+                                  prepped=prepped_none)
+        del prepped_none
         if want_prefill and args.only is None:
             prefill_none_s = measure_prefill(eng_none, ctx, cfg.vocab_size)
 
@@ -381,10 +462,34 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(tps_fact / tps_none, 3),
     }
+    # Roofline anchoring (VERDICT r2 #8): per-step bytes/FLOPs from the
+    # actual cache + params pytrees -> HBM utilization and MFU at the
+    # measured step rate. steps/s = tokens/s / batch. Suppressed in --quick
+    # (tiny-shape timings are dispatch-noise-dominated on this tunnel).
+    for tag, cost, tps, b in () if args.quick else (
+            ("fact", cost_fact, tps_fact, b_fact),
+            ("dense", cost_none, tps_none, b_dense)):
+        steps_per_s = tps / b
+        record[f"hbm_util_{tag}"] = round(
+            cost[0] * steps_per_s / (args.peak_hbm_gbps * 1e9), 3)
+        record[f"mfu_{tag}"] = round(
+            cost[1] * steps_per_s / (args.peak_tflops * 1e12), 3)
+        record[f"step_gb_{tag}"] = round(cost[0] / 1e9, 3)
+    record["peak_hbm_gbps"] = args.peak_hbm_gbps
+    record["peak_tflops"] = args.peak_tflops
     if prefill_fact_s is not None:
         # Supplementary TTFT: prefill + SVD compression vs dense prefill.
         record["prefill_compress_s"] = round(prefill_fact_s, 3)
         record["prefill_dense_s"] = round(prefill_none_s, 3)
+        # Compression adds (compress - dense) chip-seconds to TTFT; each
+        # decoded token then costs (1/tps_dense - 1/tps_fact) fewer
+        # chip-seconds at serving throughput. Payback = generated tokens
+        # until the SVD overhead is repaid in chip time.
+        delta = prefill_fact_s - prefill_none_s
+        record["ttft_delta_s"] = round(delta, 3)
+        gain = 1.0 / tps_none - 1.0 / tps_fact
+        if gain > 0:
+            record["ttft_payback_tokens"] = round(delta / gain, 1)
     if want_verify and tps_verify is not None:
         # Supplementary speculative ceiling: exact multi-token verify
         # positions/s (ql query rows share one factor reconstruction).

@@ -161,6 +161,10 @@ def test_batched_mla_matches_single_stream():
     by_id = {r.request_id: r.generated for r in be.run()}
     for rid, expected in zip(ids, singles):
         assert by_id[rid] == expected
+    # The batched cache must carry the latent inv-rms so decode takes the
+    # rank-space absorbed path, not the legacy reconstruct-the-latent
+    # fallback (ADVICE r2: k_rnorm was silently dropped in batching).
+    assert all(g.k_rnorm is not None for g in be.batch_cache.groups)
 
 
 def test_batched_refactorization_extends_generation(params):

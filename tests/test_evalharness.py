@@ -240,3 +240,56 @@ def test_enhanced_compressor_shape():
     variables = comp.init(jax.random.PRNGKey(1), x)
     out = comp.apply(variables, x)
     assert out.shape == x.shape
+
+
+def test_longbench_metric_routing_complete():
+    """Every LongBench task that has a template or a GEN_LEN entry must
+    resolve a metric (reference `evaluate/data/dataset.py:62-115` covers the
+    full task list; a gap here KeyErrors at eval time)."""
+    from xkv_tpu.evalharness.dataset import GEN_LEN, METRICS_FN
+    from xkv_tpu.evalharness.longbench_templates import LONG_BENCH_TEMPLATE
+
+    for task in LONG_BENCH_TEMPLATE:
+        key = f"long_bench/{task}"
+        assert key in METRICS_FN, f"no metric for templated task {key}"
+        assert key in GEN_LEN, f"no gen_len for templated task {key}"
+    for key in GEN_LEN:
+        if key.startswith("long_bench/"):
+            assert key in METRICS_FN, f"no metric for {key}"
+            assert callable(METRICS_FN[key])
+
+
+def test_zh_and_count_metrics():
+    from xkv_tpu.evalharness import metrics as M
+
+    # passage_count: fraction of emitted numbers equal to the answer
+    assert M.count_score("there are 3 paragraphs", 3) == 1.0
+    assert M.count_score("3 or maybe 4", 3) == 0.5
+    # passage_retrieval_zh
+    assert M.retrieval_zh_score("答案是段落7", "段落7") == 1.0
+    # zh rouge / f1 run end-to-end (jieba+rouge are installed here)
+    assert M.rouge_zh_score("今天天气很好", "今天天气很好") > 0.99
+    assert M.qa_f1_zh_score("北京是中国的首都", "北京是中国的首都") == 1.0
+
+
+def test_tokenizer_shim_backends():
+    """select_tokenizer covers the reference's shim surface
+    (`evaluate/data/ruler/tokenizer.py:25-35`)."""
+    import pytest
+
+    from xkv_tpu.utils.tokenizer import select_tokenizer
+
+    bt = select_tokenizer("byte")
+    assert bt.decode(bt.encode("hello")) == "hello"
+    with pytest.raises(ValueError, match="[Gg]emini"):
+        select_tokenizer("gemini")
+    with pytest.raises(ValueError):
+        select_tokenizer("nope")
+    # tiktoken needs its BPE file; offline environments may or may not have
+    # it cached — accept either a working round-trip or a clean network error.
+    try:
+        tk = select_tokenizer("openai", "cl100k_base")
+    except Exception:
+        pass
+    else:
+        assert tk.decode(tk.encode("hello world")) == "hello world"

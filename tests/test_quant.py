@@ -7,6 +7,7 @@ ride on."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from xkv_tpu.compress.quant import (
@@ -148,3 +149,61 @@ def test_mixed4_v_reconstruction_close():
     n = float(jnp.linalg.norm(exact))
     assert e8 / n < 0.02
     assert e4 / n < 0.05  # int4 tail: small extra error on decayed ranks
+
+
+def test_int4_engine_requires_both_merges():
+    """With factor_dtype='int4' and only one of merge_key/merge_value, the
+    mixed dense/factored fallback would drop the packed int4 tail — the
+    engine must refuse the configuration up front."""
+    import pytest
+
+    from xkv_tpu.configs import generate_consecutive_xkv_config
+    from xkv_tpu.engine import InferenceEngine
+    from xkv_tpu.models.config import tiny_llama_config
+    from xkv_tpu.models.llama import init_params
+
+    cfg = tiny_llama_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    for mk, mv in ((True, False), (False, True)):
+        xkv = generate_consecutive_xkv_config(
+            num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1,
+            group_size=2, rank_k=24, rank_v=24,
+            merge_key=mk, merge_value=mv,
+            extra_kwargs={"svd_method": "exact", "rope_mode": "post"},
+        )
+        with pytest.raises(ValueError, match="merge_key.*merge_value"):
+            InferenceEngine(
+                params, cfg, xkv=xkv, mode="factored",
+                factor_dtype="int4", cache_dtype=jnp.float32,
+            )
+
+
+def test_int4_rank_frac_sub_tile_tail_refused():
+    """An int4 tail below the 256-rank lane tile at rank>=512 cannot be
+    realized under lane alignment; build_cache must refuse rather than
+    silently move int8 ranks down to int4 (ADVICE r2)."""
+    import pytest
+
+    from xkv_tpu.configs import generate_consecutive_xkv_config
+    from xkv_tpu.engine.compression import build_cache
+    from xkv_tpu.models.config import tiny_llama_config
+    from xkv_tpu.models.llama import init_params, prefill
+    from xkv_tpu.ops.rope import rope_cos_sin
+
+    cfg = tiny_llama_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    seq = 640
+    tokens = jnp.zeros((1, seq), jnp.int32)
+    _, kvs = prefill(params, cfg, tokens)
+    cos_p, sin_p = rope_cos_sin(
+        jnp.arange(seq), cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
+    )
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=512, rank_v=512,
+        extra_kwargs={"svd_method": "exact", "rope_mode": "post",
+                      "int4_rank_frac": 0.9},
+    )
+    with pytest.raises(ValueError, match="int4_rank_frac"):
+        build_cache(kvs, xkv, cfg, cos_p, sin_p, tail_max=8,
+                    factor_dtype="int4", cache_dtype=jnp.float32)

@@ -132,3 +132,38 @@ def test_speculative_pallas_verify_matches_exact(params):
         prompt, max_new_tokens=10, draft_k=4
     ))
     np.testing.assert_array_equal(out_s, out_e)
+
+
+def test_batched_multitoken_with_sparse_falls_back_to_exact(params):
+    """A 2-D (multi-token) decode_step_batched call with sparse_select set
+    must not route into the single-token sparse kernels; it falls back to
+    exact attention and matches the sparse-free call bit-for-bit."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, CFG.vocab_size, size=(16,)).astype(np.int32)
+    xkv = xkv_cfg()
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32, sparse_topk=2, sparse_block=8,
+    )
+    be.submit(prompt, 1)
+    be._admit()
+    from xkv_tpu.models import llama
+
+    bc = be.batch_cache
+    toks = jnp.tile(jnp.asarray([[3, 5, 7]], jnp.int32), (be.num_slots, 1))
+    pos = jnp.asarray(be.pos, jnp.int32)
+    plen = jnp.asarray(be.prefill_len, jnp.int32)
+    tlen = jnp.asarray(be.tail_len, jnp.int32)
+    logits_sparse, _ = llama.decode_step_batched(
+        params, CFG, xkv, bc, toks, pos, plen, tlen, be._cos_sin,
+        sparse_select=2, sparse_block=8,
+    )
+    logits_exact, _ = llama.decode_step_batched(
+        params, CFG, xkv, bc, toks, pos, plen, tlen, be._cos_sin,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_sparse), np.asarray(logits_exact), rtol=0, atol=0
+    )

@@ -246,6 +246,11 @@ class BatchedEngine:
                         kw["k_cmax"] = jnp.zeros(
                             (B, nc, g * hkv * hd), self.cache_dtype
                         )
+                    if self._mla:
+                        # Per-row inv-rms of the reconstructed latent —
+                        # what lets batched MLA decode stay in rank space
+                        # (the absorbed path in models/deepseek.py:673).
+                        kw["k_rnorm"] = jnp.zeros((B, g, S), jnp.float32)
                 else:
                     for l in grp.layers:
                         dense_k[l] = jnp.zeros((B, hkv, S, hd), self.cache_dtype)
@@ -456,6 +461,7 @@ class BatchedEngine:
                     v_vt=ins_field(gd.v_vt, gs.v_vt),
                     k_scale=ins_field(gd.k_scale, gs.k_scale),
                     v_scale=ins_field(gd.v_scale, gs.v_scale),
+                    k_rnorm=ins_field(gd.k_rnorm, gs.k_rnorm, pad_axis=2),
                     k_cmin=ins_field(gd.k_cmin, gs.k_cmin, pad_axis=1),
                     k_cmax=ins_field(gd.k_cmax, gs.k_cmax, pad_axis=1),
                 )

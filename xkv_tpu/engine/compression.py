@@ -203,9 +203,21 @@ def build_cache(
                 # Round the tail DOWN to a 256-rank multiple (packed 128);
                 # tiny test ranks just keep an even tail.
                 if rank >= 512:
+                    # Round DOWN (toward more int8 — conservative for
+                    # accuracy). A requested int4 tail smaller than one
+                    # 256-rank tile cannot be realized under lane
+                    # alignment; forcing it up to 256 would silently move
+                    # ranks the user asked to keep in int8 down to int4,
+                    # so refuse instead.
                     lo = (lo // 256) * 256
                     if lo == 0:
-                        lo = 256
+                        raise ValueError(
+                            f"int4_rank_frac={xkv.int4_rank_frac} leaves an "
+                            f"int4 tail of {rank - hi} ranks at rank {rank}, "
+                            "below the 256-rank lane-alignment tile; use "
+                            "factor_dtype='int8' or int4_rank_frac <= "
+                            f"{(rank - 256) / rank:.3f}"
+                        )
                 else:
                     lo -= lo % 2
                 return rank - lo

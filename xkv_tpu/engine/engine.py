@@ -80,6 +80,16 @@ class InferenceEngine:
                     "factor_dtype='int4' requires rope_mode='post' "
                     "(rank-space decode; docs/ROPE_MODES.md)"
                 )
+            if xkv is not None and mode == "factored" \
+                    and not (xkv.merge_key and xkv.merge_value):
+                # The mixed dense/factored fallback reconstructs from the
+                # int8 head only and would silently drop the packed int4
+                # tail (k_us4/k_vt4) of whichever side IS merged.
+                raise ValueError(
+                    "factor_dtype='int4' requires merge_key=True and "
+                    "merge_value=True (the mixed dense/factored path does "
+                    "not carry the packed int4 tail)"
+                )
         self.sparse_topk = sparse_topk
         self.sparse_block = sparse_block
         self._sparse_kw = (

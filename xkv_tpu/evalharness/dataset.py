@@ -31,16 +31,22 @@ METRICS_FN = {
     "long_bench/narrativeqa": M.qa_f1_score,
     "long_bench/qasper": M.qa_f1_score,
     "long_bench/multifieldqa_en": M.qa_f1_score,
+    "long_bench/multifieldqa_zh": M.qa_f1_zh_score,
     "long_bench/hotpotqa": M.qa_f1_score,
     "long_bench/2wikimqa": M.qa_f1_score,
     "long_bench/musique": M.qa_f1_score,
+    "long_bench/dureader": M.rouge_zh_score,
     "long_bench/gov_report": M.rouge_score,
     "long_bench/qmsum": M.rouge_score,
     "long_bench/multi_news": M.rouge_score,
+    "long_bench/vcsum": M.rouge_zh_score,
+    "long_bench/trec": M.classification_score,
     "long_bench/triviaqa": M.qa_f1_score,
     "long_bench/samsum": M.rouge_score,
     "long_bench/lsht": M.classification_score,
+    "long_bench/passage_count": M.count_score,
     "long_bench/passage_retrieval_en": M.retrieval_score,
+    "long_bench/passage_retrieval_zh": M.retrieval_zh_score,
     "long_bench/lcc": M.code_sim_score,
     "long_bench/repobench-p": M.code_sim_score,
 }

@@ -665,9 +665,9 @@ def decode_step_batched(
     multi = tokens.ndim == 2
     tokens2 = tokens if multi else tokens[:, None]
     b, ql = tokens2.shape
-    if sparse_select is not None and multi:
-        raise ValueError("sparse top-k decode is single-token (drafts); "
-                         "verify passes run exact attention")
+    # sparse top-k decode is single-token (drafts); multi-token passes
+    # (speculative verify) fall back to exact attention below (sparse_ok_b
+    # carries the ql == 1 guard), so sparse_topk composes with verify.
     scale = 1.0 / math.sqrt(cfg.head_dim)
     positions = pos[:, None] + jnp.arange(ql, dtype=pos.dtype)[None, :]  # (B, ql)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
@@ -722,7 +722,11 @@ def decode_step_batched(
                 and "model" in mesh.shape
                 and cfg.num_kv_heads % mesh.shape["model"] == 0
             )
-            sparse_ok_b = sparse_select is not None and gf.k_cmin is not None
+            sparse_ok_b = (
+                sparse_select is not None
+                and gf.k_cmin is not None
+                and ql == 1
+            )
             if rope_post:
                 parts.append(
                     _post_rope_factored_part(
