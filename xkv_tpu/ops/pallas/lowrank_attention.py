@@ -614,6 +614,7 @@ def lowrank_decode_attention_tp(
     block_s: int = 1024,
     interpret: Optional[bool] = None,
     model_axis: str = "model",
+    data_axis: str = "data",
 ) -> Tuple[jax.Array, jax.Array]:
     """Tensor-parallel kernel: kv heads sharded over the mesh's model axis.
 
@@ -656,24 +657,37 @@ def lowrank_decode_attention_tp(
         )
 
     rep = P()
+    # Shard batch over the data axis when it divides: the cache factors
+    # arrive batch-sharded (engine cache shardings), so a replicated spec
+    # here would force a per-step all-gather of the multi-GB us panels and
+    # an involuntary SPMD rematerialization of the vt slices (VERDICT r2
+    # #3). With ba set, every reshard is a local slice.
+    ba = (data_axis if data_axis in mesh.shape
+          and b % mesh.shape[data_axis] == 0 else None)
+    # Query trig rows broadcast over batch in single-stream decode (their
+    # leading dim is 1, not b) — shard them only when they carry real batch.
+    tb_c = (P(ba, *([None] * (cos_t.ndim - 1)))
+            if ba and cos_t.shape[0] == b else P(*([None] * cos_t.ndim)))
+    tb_s = (P(ba, *([None] * (sin_t.ndim - 1)))
+            if ba and sin_t.shape[0] == b else P(*([None] * sin_t.ndim)))
     out, lse = shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, model_axis, None, None),  # q: heads sharded (kv-head-major)
-            rep,  # k_us replicated
-            P(None, None, model_axis),  # k_vt columns by kv head
-            rep,  # v_us replicated
-            P(None, None, model_axis),  # v_vt columns by kv head
-            rep,
-            rep,
-            rep,  # cos_t
-            rep,  # sin_t
-            rep,  # lengths
-            P(None, None, model_axis),  # k_scale columns by kv head
-            rep,  # v_rank_scale (rank space, shared)
+            P(ba, model_axis, None, None),  # q: heads sharded (kv-head-major)
+            P(ba, None, None),  # k_us: shared rank space (batch on data)
+            P(ba, None, model_axis),  # k_vt columns by kv head
+            P(ba, None, None),  # v_us
+            P(ba, None, model_axis),  # v_vt columns by kv head
+            rep,  # cos_p (shared positions table)
+            rep,  # sin_p
+            tb_c,  # cos_t
+            tb_s,  # sin_t
+            P(ba),  # lengths
+            P(ba, None, model_axis),  # k_scale columns by kv head
+            P(ba, None, None),  # v_rank_scale (rank space, shared)
         ),
-        out_specs=(P(None, model_axis, None, None), P(None, model_axis, None)),
+        out_specs=(P(ba, model_axis, None, None), P(ba, model_axis, None)),
         check_vma=False,
     )(q_pre, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p, cos_t, sin_t,
       lengths, k_scale_slice, v_rank_scale)
@@ -704,6 +718,7 @@ def sparse_lowrank_decode_attention_tp(
     block: int = 1024,
     interpret: Optional[bool] = None,
     model_axis: str = "model",
+    data_axis: str = "data",
 ) -> Tuple[jax.Array, jax.Array]:
     """Tensor-parallel sparse top-k decode: kv heads sharded over the model
     axis, chunk selection PER SHARD.
@@ -749,14 +764,23 @@ def sparse_lowrank_decode_attention_tp(
         )
 
     rep = P()
-    hs = P(None, model_axis, None, None)  # heads sharded (kv-head-major)
-    cols = P(None, None, model_axis)  # columns by kv head
+    # batch on data when it divides (see lowrank_decode_attention_tp)
+    ba = (data_axis if data_axis in mesh.shape
+          and b % mesh.shape[data_axis] == 0 else None)
+    hs = P(ba, model_axis, None, None)  # heads sharded (kv-head-major)
+    cols = P(ba, None, model_axis)  # columns by kv head
+    us = P(ba, None, None)  # shared rank space, batch on data
+    # trig rows broadcast over batch (leading dim 1) in single-stream decode
+    tb_c = (P(ba, *([None] * (cos_t.ndim - 1)))
+            if ba and cos_t.shape[0] == b else P(*([None] * cos_t.ndim)))
+    tb_s = (P(ba, *([None] * (sin_t.ndim - 1)))
+            if ba and sin_t.shape[0] == b else P(*([None] * sin_t.ndim)))
     out, lse = shard_map(
         local,
         mesh=mesh,
-        in_specs=(hs, hs, rep, cols, rep, cols, rep, rep, rep, rep,
-                  cols, cols, rep, cols, rep),
-        out_specs=(hs, P(None, model_axis, None)),
+        in_specs=(hs, hs, us, cols, us, cols, rep, rep, tb_c, tb_s,
+                  cols, cols, P(ba), cols, us),
+        out_specs=(hs, P(ba, model_axis, None)),
         check_vma=False,
     )(q_pre, q_rot, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p,
       cos_t, sin_t, k_cmin_slice, k_cmax_slice, lengths, k_scale_slice,

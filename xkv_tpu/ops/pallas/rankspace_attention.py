@@ -683,6 +683,7 @@ def rankspace_decode_attention_tp(
     block_s: int = 2048,
     interpret: Optional[bool] = None,
     model_axis: str = "model",
+    data_axis: str = "data",
 ) -> Tuple[jax.Array, jax.Array]:
     """Tensor-parallel rank-space decode: kv heads sharded on the model
     axis, collective-free (like ``lowrank_decode_attention_tp``): each
@@ -714,21 +715,26 @@ def rankspace_decode_attention_tp(
             interpret=interpret,
         )
 
-    rep = P()
+    # Shard batch over the data axis when it divides: the cache factors
+    # arrive batch-sharded, so replicated specs here would force a
+    # per-step all-gather of the us panels plus an involuntary SPMD
+    # rematerialization of the vt slices (VERDICT r2 #3).
+    ba = (data_axis if data_axis in mesh.shape
+          and b % mesh.shape[data_axis] == 0 else None)
     out, lse = shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, model_axis, None, None),  # q heads (kv-head-major)
-            rep,  # k_us: shared rank space, replicated
-            P(None, None, model_axis),  # k_vt columns by kv head
-            rep,  # v_us
-            P(None, None, model_axis),  # v_vt columns by kv head
-            rep,  # lengths
-            P(None, None, model_axis),  # k_scale columns by kv head
-            rep,  # v_rank_scale (rank space, shared)
+            P(ba, model_axis, None, None),  # q heads (kv-head-major)
+            P(ba, None, None),  # k_us: shared rank space, batch on data
+            P(ba, None, model_axis),  # k_vt columns by kv head
+            P(ba, None, None),  # v_us
+            P(ba, None, model_axis),  # v_vt columns by kv head
+            P(ba),  # lengths
+            P(ba, None, model_axis),  # k_scale columns by kv head
+            P(ba, None, None),  # v_rank_scale (rank space, shared)
         ),
-        out_specs=(P(None, model_axis, None, None), P(None, model_axis, None)),
+        out_specs=(P(ba, model_axis, None, None), P(ba, model_axis, None)),
         check_vma=False,
     )(q, k_us, k_vt_slice, v_us, v_vt_slice, lengths, k_scale_slice,
       v_rank_scale)
@@ -754,6 +760,7 @@ def sparse_rankspace_decode_attention_tp(
     block: int = 1024,
     interpret: Optional[bool] = None,
     model_axis: str = "model",
+    data_axis: str = "data",
 ) -> Tuple[jax.Array, jax.Array]:
     """Tensor-parallel sparse rank-space decode with per-shard Quest
     selection (finer selection granularity, collective-free — see
@@ -789,14 +796,17 @@ def sparse_rankspace_decode_attention_tp(
             interpret=interpret,
         )
 
-    rep = P()
-    hs = P(None, model_axis, None, None)
-    cols = P(None, None, model_axis)
+    # batch on data when it divides (see rankspace_decode_attention_tp)
+    ba = (data_axis if data_axis in mesh.shape
+          and b % mesh.shape[data_axis] == 0 else None)
+    hs = P(ba, model_axis, None, None)
+    cols = P(ba, None, model_axis)
+    us = P(ba, None, None)
     out, lse = shard_map(
         local,
         mesh=mesh,
-        in_specs=(hs, rep, cols, rep, cols, cols, cols, rep, cols, rep),
-        out_specs=(hs, P(None, model_axis, None)),
+        in_specs=(hs, us, cols, us, cols, cols, cols, P(ba), cols, us),
+        out_specs=(hs, P(ba, model_axis, None)),
         check_vma=False,
     )(q, k_us, k_vt_slice, v_us, v_vt_slice, k_cmin_slice, k_cmax_slice,
       lengths, k_scale_slice, v_rank_scale)
