@@ -1,0 +1,228 @@
+"""Production-geometry accuracy study: pre-RoPE vs post-RoPE factorization.
+
+Round-3 follow-up to scripts/rope_mode_study.py (VERDICT r2 #1): the same
+offline methodology, scaled to the xKV-4 production KV geometry so the
+rope_mode="post" accuracy case is load-bearing at the shape the serving
+headline is measured at (BASELINE.md):
+
+  * head_dim 128, 8 KV heads, layer group 4 -> the factored group matrix
+    is (rows, 4*8*128 = 4096), exactly Llama-3.1-8B xKV-4's;
+  * rank_k 512 / rank_v 768 (the paper's 8x operating point,
+    reference README.md:87-88) plus a 2x-beyond point (256/384);
+  * >= 16K factored rows per sequence;
+  * three task families from ONE trained model:
+      1. ordered recall  — greedy copy-continuation of an 8K repeated
+         segment (exact-match rate over generated tokens);
+      2. multi-needle    — 8 key->value needles planted at random depths
+         in 16K of noise, needle keys drawn from a held-out vocab range
+         (unique occurrence); query one needle per sequence, check the
+         retrieved value token (niah's mechanism);
+      3. teacher-forced NLL — mean next-token negative log-likelihood of
+         the first 256 tokens of the repeated half through the compressed
+         cache (perplexity-under-compression; engine.score = RNN mode,
+         reference eval_perplexity_rnn.py:90-125).
+
+The model is a 4-layer transformer with the production KV shape
+(hidden 1024, 8 q/kv heads x 128, llama-3 rope theta 5e5) trained on the
+copy task at 2K; induction-head retrieval is content-addressed, so it
+transfers to 16K contexts and to needle queries (the uncompressed
+baseline column verifies this independently of any compression claim).
+
+Run on the real TPU chip:
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/rope_mode_study_production.py
+
+Results are recorded in docs/ROPE_MODES.md ("Production-geometry study").
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from xkv_tpu.configs import generate_consecutive_xkv_config  # noqa: E402
+from xkv_tpu.engine import InferenceEngine  # noqa: E402
+from xkv_tpu.models.config import tiny_llama_config  # noqa: E402
+from xkv_tpu.models.llama import init_params  # noqa: E402
+from xkv_tpu.train.lm import train_lm  # noqa: E402
+
+# Production KV geometry: (s, 4*8*128) group matrix, same as Llama-3.1-8B
+# xKV-4. Query-head count does not enter the compression math (the factored
+# matrix is KV-side); hq=hkv keeps the trainable model small.
+CFG = tiny_llama_config(
+    vocab_size=256,
+    hidden_size=1024,
+    intermediate_size=2048,
+    num_layers=4,
+    num_q_heads=8,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=500000.0,
+)
+NOISE_LO, NOISE_HI = 2, 128       # noise token range
+NEEDLE_LO, NEEDLE_HI = 128, 256   # held-out needle key/value range
+TRAIN_M = 1024                    # trained copy-segment length
+
+
+def make_copy_batch(rng, batch, m):
+    """[BOS, x, x] with loss on the repeated half. Tokens span the FULL
+    vocab so needle-range tokens are in-distribution for the induction
+    circuit."""
+    x = rng.integers(NOISE_LO, NEEDLE_HI, size=(batch, m)).astype(np.int32)
+    tokens = np.concatenate([np.ones((batch, 1), np.int32), x, x], axis=1)
+    mask = np.zeros_like(tokens, np.float32)
+    mask[:, m + 1:] = 1.0
+    return tokens, mask
+
+
+def xkv_with(rank_k, rank_v, mode):
+    return generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1,
+        group_size=4, rank_k=rank_k, rank_v=rank_v,
+        extra_kwargs={"rope_mode": mode},  # svd_method: randomized default
+    )
+
+
+def make_engine(params, xkv, tail, factor_dtype=jnp.float32):
+    return InferenceEngine(
+        params, CFG, xkv=xkv, mode="factored" if xkv is not None else "none",
+        tail_max=tail, donate_cache=False,
+        attention_impl="pallas" if jax.default_backend() == "tpu" else "xla",
+        cache_dtype=jnp.bfloat16, factor_dtype=factor_dtype,
+        prefill_logits="last",
+    )
+
+
+# ------------------------------------------------------------------ tasks
+def ordered_recall(params, xkv, half, n, keep=8, gen=64, seed=7,
+                   factor_dtype=jnp.float32):
+    """Copy-continuation at 2*half rows: recall of the repeated segment."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(NOISE_LO, NEEDLE_HI, size=(n, half)).astype(np.int32)
+    prompts = np.concatenate(
+        [np.ones((n, 1), np.int32), x, x[:, :keep]], axis=1
+    )
+    eng = make_engine(params, xkv, tail=gen + 2, factor_dtype=factor_dtype)
+    out = np.asarray(eng.generate(jnp.asarray(prompts), max_new_tokens=gen))
+    return float((out == x[:, keep:keep + gen]).mean())
+
+
+def needle_prompts(rng, n, ctx, n_needles):
+    """Noise contexts with planted (key, value) needle bigrams; returns
+    (prompts (n, ctx+2), answers (n,)) querying one needle per sequence."""
+    toks = rng.integers(NOISE_LO, NOISE_HI, size=(n, ctx)).astype(np.int32)
+    answers = np.zeros((n,), np.int32)
+    queried = np.zeros((n,), np.int32)
+    for i in range(n):
+        keys = rng.choice(
+            np.arange(NEEDLE_LO, NEEDLE_HI), size=n_needles, replace=False
+        )
+        vals = rng.integers(NEEDLE_LO, NEEDLE_HI, size=n_needles)
+        depths = np.sort(
+            rng.choice(np.arange(1, ctx - 1), size=n_needles, replace=False)
+        )
+        for k, v, d in zip(keys, vals, depths):
+            toks[i, d] = k
+            toks[i, d + 1] = v
+        j = i % n_needles  # rotate the queried depth across sequences
+        queried[i] = keys[j]
+        answers[i] = vals[j]
+    prompts = np.concatenate(
+        [np.ones((n, 1), np.int32), toks, queried[:, None]], axis=1
+    )
+    return prompts, answers
+
+
+def multi_needle(params, xkv, ctx, n, n_needles=8, seed=11,
+                 factor_dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    prompts, answers = needle_prompts(rng, n, ctx, n_needles)
+    eng = make_engine(params, xkv, tail=4, factor_dtype=factor_dtype)
+    out = np.asarray(eng.generate(jnp.asarray(prompts), max_new_tokens=1))
+    return float((out[:, 0] == answers).mean())
+
+
+def teacher_forced_nll(params, xkv, half, n, n_score=256, seed=13,
+                       factor_dtype=jnp.float32):
+    """Mean next-token NLL of the first n_score repeated-half tokens
+    through the compressed cache (decode-path RNN scoring)."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(NOISE_LO, NEEDLE_HI, size=(n, half)).astype(np.int32)
+    prompts = np.concatenate([np.ones((n, 1), np.int32), x], axis=1)
+    eng = make_engine(params, xkv, tail=n_score + 2,
+                      factor_dtype=factor_dtype)
+    _, cache = eng.prefill(jnp.asarray(prompts))
+    # feed x[0..n_score-1] (the start of the repeat), score each next token
+    fed = jnp.asarray(x[:, :n_score])
+    logp, _ = eng.score(cache, fed, jnp.asarray(prompts.shape[1], jnp.int32))
+    logp = np.asarray(logp)  # (n, n_score, vocab): log p(next | fed[:, :i+1])
+    tgt = x[:, 1:n_score]    # token after fed[:, i], i < n_score-1
+    rows = np.arange(n)[:, None]
+    steps = np.arange(n_score - 1)[None, :]
+    return float(np.mean(-logp[rows, steps, tgt]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=16384,
+                    help="factored rows per sequence (context length)")
+    ap.add_argument("--train-steps", type=int, default=400)
+    ap.add_argument("--n", type=int, default=8, help="sequences per task")
+    ap.add_argument("--ranks", default="512:768,256:384",
+                    help="rank_k:rank_v points, comma-separated")
+    ap.add_argument("--modes", default="pre,post,post-int8,post-int4")
+    ap.add_argument("--skip-nll", action="store_true")
+    args = ap.parse_args()
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(0)
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    t0 = time.time()
+    params, history = train_lm(
+        params, CFG, lambda i: make_copy_batch(rng, 8, TRAIN_M),
+        steps=args.train_steps, lr=1e-3, log_every=50, verbose=True,
+    )
+    print(f"trained in {time.time() - t0:.0f}s, loss history {history}",
+          flush=True)
+
+    half = args.rows // 2
+    points = []
+    for spec in args.ranks.split(","):
+        rk, rv = (int(v) for v in spec.split(":"))
+        points.append((rk, rv))
+
+    def run_mode(label, xkv, factor_dtype=jnp.float32):
+        t = time.time()
+        rec = ordered_recall(params, xkv, half, args.n,
+                             factor_dtype=factor_dtype)
+        ndl = multi_needle(params, xkv, args.rows, args.n,
+                           factor_dtype=factor_dtype)
+        nll = (float("nan") if args.skip_nll else
+               teacher_forced_nll(params, xkv, half, args.n,
+                                  factor_dtype=factor_dtype))
+        print(f"{label:28s} recall={rec:.3f} needle={ndl:.3f} "
+              f"nll={nll:.4f}   ({time.time() - t:.0f}s)", flush=True)
+        return rec, ndl, nll
+
+    print(f"\n== rows={args.rows}, group matrix ({args.rows}, 4096), "
+          f"n={args.n} per task ==", flush=True)
+    run_mode("uncompressed", None)
+    for rk, rv in points:
+        for mode in args.modes.split(","):
+            fd = jnp.float32
+            m = mode
+            if mode == "post-int8":
+                m, fd = "post", "int8"
+            elif mode == "post-int4":
+                m, fd = "post", "int4"
+            run_mode(f"rank {rk}/{rv} {mode}", xkv_with(rk, rv, m),
+                     factor_dtype=fd)
+
+
+if __name__ == "__main__":
+    main()

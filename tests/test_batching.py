@@ -379,3 +379,73 @@ def test_batched_mla_speculative_matches_plain():
     for ip, isp in zip(ids_p, ids_s):
         assert spec[isp] == plain[ip], (spec[isp], plain[ip])
         assert len(spec[isp]) == n_new
+
+
+def _post_int4_xkv(rank=16):
+    return generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1, group_size=2,
+        rank_k=rank, rank_v=rank,
+        extra_kwargs={"svd_method": "exact", "rope_mode": "post"},
+    )
+
+
+def test_batched_int4_matches_single_stream(params):
+    """factor_dtype='int4' through the batched scheduler: slot allocation,
+    insertion and decode carry the packed int4 tail and match the
+    single-stream int4 engine bit-for-bit (VERDICT r2 #2)."""
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(16,)).astype(np.int32)
+               for _ in range(2)]
+    n_new = 4
+    xkv = _post_int4_xkv()
+
+    singles = []
+    for p in prompts:
+        eng = InferenceEngine(
+            params, CFG, xkv=xkv, mode="factored", tail_max=n_new + 2,
+            cache_dtype=jnp.float32, factor_dtype="int4",
+            donate_cache=False,
+        )
+        singles.append(np.asarray(eng.generate(p[None, :], n_new))[0].tolist())
+
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16], cache_dtype=jnp.float32, factor_dtype="int4",
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, expected in zip(ids, singles):
+        assert by_id[rid] == expected
+    for g in be.batch_cache.groups:
+        assert g.k_us4 is not None and g.v_us4 is not None
+        assert g.k_vt4 is not None and g.k_scale4 is not None
+
+
+def test_batched_int4_refactorization_continues(params):
+    """Int4 slots fold their tails in place (refactorize_slot_cache already
+    re-quantizes the mixed layout) and keep generating finite tokens."""
+    rng = np.random.default_rng(22)
+    prompt = rng.integers(0, CFG.vocab_size, size=(12,)).astype(np.int32)
+    be = BatchedEngine(
+        params, CFG, xkv=_post_int4_xkv(), num_slots=1, s_max=32, tail_max=4,
+        prefill_buckets=[16], cache_dtype=jnp.float32, factor_dtype="int4",
+    )
+    be.submit(prompt, 10)  # > 2 folds at tail_max=4
+    done = be.run()
+    assert len(done) == 1 and len(done[0].generated) == 10
+    assert all(0 <= t < CFG.vocab_size for t in done[0].generated)
+
+
+def test_batched_int4_validation(params):
+    import pytest
+
+    xkv_pre = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24, extra_kwargs={"svd_method": "exact"},
+    )
+    with pytest.raises(ValueError, match="rope_mode"):
+        BatchedEngine(params, CFG, xkv=xkv_pre, num_slots=1, s_max=16,
+                      factor_dtype="int4")
+    with pytest.raises(ValueError, match="sparse"):
+        BatchedEngine(params, CFG, xkv=_post_int4_xkv(), num_slots=1,
+                      s_max=16, factor_dtype="int4", sparse_topk=2)

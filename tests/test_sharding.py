@@ -361,3 +361,32 @@ def test_batched_speculative_mesh_matches_single(params):
     got = {r.request_id: r.generated for r in be_spec.run()}
     for rid_m, rid_r in zip(ids, ref_ids):
         assert got[rid_m] == ref[rid_r]
+
+
+def test_moe_expert_parallel_in_engine():
+    """EP wired into the DeepSeek forward (VERDICT r2 #4): with a mesh
+    whose model axis divides the expert count, prefill and decode route
+    MoE through moe_expert_parallel — outputs match the unsharded engine."""
+    from tests.test_deepseek_mla import MOE_CFG, latent_xkv
+    from xkv_tpu.models import deepseek
+
+    params = deepseek.init_params(MOE_CFG, jax.random.PRNGKey(7),
+                                  dtype=jnp.float32)
+    xkv = latent_xkv(group_size=2, rank=24)
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(0, MOE_CFG.vocab_size, size=(2, 16)).astype(np.int32)
+
+    eng_plain = InferenceEngine(
+        params, MOE_CFG, xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    out_plain = np.asarray(eng_plain.generate(prompt, max_new_tokens=4))
+
+    mesh = make_mesh(data=2, model=4)
+    assert MOE_CFG.n_routed_experts % mesh.shape["model"] == 0
+    eng_mesh = InferenceEngine(
+        params, MOE_CFG, xkv=xkv, mode="factored", tail_max=8, mesh=mesh,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    out_mesh = np.asarray(eng_mesh.generate(prompt, max_new_tokens=4))
+    np.testing.assert_array_equal(out_mesh, out_plain)

@@ -137,13 +137,57 @@ def test_compact_survives_refactorization(params):
     np.testing.assert_array_equal(out_c, out_f)
 
 
-def test_batched_engine_rejects_compact(params):
+def test_batched_compact_matches_single_stream(params):
+    """Compact MiniCache through the batched scheduler (VERDICT r2 #2):
+    slot insertion pads the exception budget with duplicated entries and
+    decode reconstructs per slot; tokens match the single-stream compact
+    engine."""
     from xkv_tpu.engine.batching import BatchedEngine
 
-    with pytest.raises(ValueError, match="single-stream"):
-        BatchedEngine(
-            params, CFG, xkv=slerp_cfg(), num_slots=1, s_max=16, tail_max=4,
-        )
+    xkv = slerp_cfg(slerp_keep_frac=0.5)
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, CFG.vocab_size, size=(16,)).astype(np.int32)
+               for _ in range(2)]
+    n_new = 4
+    singles = []
+    for p in prompts:
+        eng = make_engine(params, "factored", xkv, tail_max=n_new + 2)
+        singles.append(np.asarray(eng.generate(p[None, :], n_new))[0].tolist())
+
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, expected in zip(ids, singles):
+        assert by_id[rid] == expected
+    assert all(g.slerp_k is not None and g.slerp_v is not None
+               for g in be.batch_cache.groups)
+
+
+def test_batched_compact_refold_continues(params):
+    """Compact slots fold tails in place at a fixed exception budget and
+    keep generating; with budget >= kept + tail rows the fold is lossless,
+    so output matches the (growing-budget) single-stream compact engine."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    xkv = slerp_cfg(slerp_keep_frac=0.5)
+    rng = np.random.default_rng(14)
+    prompt = rng.integers(0, CFG.vocab_size, size=(12,)).astype(np.int32)
+    n_new = 8  # tail_max=4 -> at least one in-place refold
+    eng = make_engine(params, "factored", xkv, tail_max=n_new + 2)
+    expected = np.asarray(eng.generate(prompt[None, :], n_new))[0].tolist()
+
+    be = BatchedEngine(
+        params, CFG, xkv=xkv, num_slots=1, s_max=32, tail_max=4,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32,
+    )
+    be.submit(prompt, n_new)
+    done = be.run()
+    assert done[0].generated == expected
 
 
 def test_minicache_merge_then_compact_consistent():

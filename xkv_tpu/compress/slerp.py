@@ -21,27 +21,41 @@ import jax.numpy as jnp
 
 
 def slerp_merge_rows(
-    x1: jax.Array, x2: jax.Array, t: float = 0.5, gamma: float = 0.05
+    x1: jax.Array, x2: jax.Array, t: float = 0.5, gamma: float = 0.05,
+    valid: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Row-wise SLERP of (L, d) matrices.
 
     Returns (merged, diverge_mask (L,), norm1 (L,1), norm2 (L,1)).
     Reference: `fake_layer_merge_dynamic_cache.py:32-90`.
+
+    ``valid`` ((L,) bool, optional) restricts the divergence threshold's
+    d_min/d_max to real rows — needed when the input carries right-padded
+    zero rows (bucketed batched admission): an all-zero row has no
+    direction, and letting it into the min/max would shift the threshold
+    (the reference never pads, so valid=None reproduces it exactly).
     """
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
     norm1 = jnp.linalg.norm(x1, axis=1, keepdims=True)
     norm2 = jnp.linalg.norm(x2, axis=1, keepdims=True)
 
-    u1 = x1 / norm1
-    u2 = x2 / norm2
+    # eps-guard: zero rows (padding) have no direction; 0/eps = 0 keeps
+    # the math NaN-free (NaN omega would poison the global min/max).
+    u1 = x1 / jnp.maximum(norm1, 1e-12)
+    u2 = x2 / jnp.maximum(norm2, 1e-12)
 
     dot_val = jnp.clip(jnp.sum(u1 * u2, axis=1, keepdims=True), -1.0, 1.0)
     omega = jnp.arccos(dot_val)  # (L, 1)
     sin_omega = jnp.sin(omega)
 
-    d_min = jnp.min(omega)
-    d_max = jnp.max(omega)
+    if valid is None:
+        d_min = jnp.min(omega)
+        d_max = jnp.max(omega)
+    else:
+        v = valid.reshape(-1, 1)
+        d_min = jnp.min(jnp.where(v, omega, jnp.inf))
+        d_max = jnp.max(jnp.where(v, omega, -jnp.inf))
     threshold = d_min + (d_max - d_min) * gamma
     diverge_mask = (omega > threshold).squeeze(-1)  # (L,)
 
@@ -58,7 +72,8 @@ def slerp_merge_rows(
 
 
 def minicache_merge(
-    x1: jax.Array, x2: jax.Array, t: float = 0.5, gamma: float = 0.05
+    x1: jax.Array, x2: jax.Array, t: float = 0.5, gamma: float = 0.05,
+    valid: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fake MiniCache merge of two (L, d) matrices.
 
@@ -67,7 +82,9 @@ def minicache_merge(
     Reference: `fake_layer_merge_dynamic_cache.py:93-100`.
     """
     dtype = x1.dtype
-    merged, diverge, n1, n2 = slerp_merge_rows(x1, x2, t=t, gamma=gamma)
+    merged, diverge, n1, n2 = slerp_merge_rows(
+        x1, x2, t=t, gamma=gamma, valid=valid
+    )
     mask = diverge[:, None]
     e1 = jnp.where(mask, merged * n1, x1.astype(jnp.float32))
     e2 = jnp.where(mask, merged * n2, x2.astype(jnp.float32))
@@ -75,17 +92,27 @@ def minicache_merge(
 
 
 def minicache_merge_heads(
-    k1: jax.Array, k2: jax.Array, t: float = 0.5, gamma: float = 0.05
+    k1: jax.Array, k2: jax.Array, t: float = 0.5, gamma: float = 0.05,
+    valid_len: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """MiniCache merge on (b, nh, s, hd) tensors.
 
     The reference flattens all leading dims into rows of length head_dim
     (`fake_layer_merge_dynamic_cache.py:186-188`), making the divergence
     threshold global over (batch, heads, seq). We reproduce that exactly.
+    ``valid_len`` (scalar or (b,)) excludes right-padded rows beyond it
+    from the divergence threshold (bucketed batched admission).
     """
     shape = k1.shape
-    hd = shape[-1]
-    e1, e2 = minicache_merge(k1.reshape(-1, hd), k2.reshape(-1, hd), t=t, gamma=gamma)
+    b, nh, s, hd = shape
+    valid = None
+    if valid_len is not None:
+        vl = jnp.asarray(valid_len).reshape(-1, 1)  # (b or 1, 1)
+        v = jnp.arange(s)[None, :] < vl  # (b or 1, s)
+        valid = jnp.broadcast_to(v[:, None, :], (b, nh, s)).reshape(-1)
+    e1, e2 = minicache_merge(
+        k1.reshape(-1, hd), k2.reshape(-1, hd), t=t, gamma=gamma, valid=valid
+    )
     return e1.reshape(shape), e2.reshape(shape)
 
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xkv_tpu.cache import GroupFactors, XKVCache, init_tail
+from xkv_tpu.cache import GroupFactors, SlerpCompact, XKVCache, init_tail
 from xkv_tpu.configs import XKVConfig
 from xkv_tpu.engine.compression import build_cache
 from xkv_tpu.models.config import ModelConfig
@@ -79,20 +79,46 @@ class BatchedEngine:
                 raise ValueError("DeepSeek MLA: pass merge_value=False")
         else:
             from xkv_tpu.models import llama as model_module
-        if xkv is not None and xkv.slerp_compact:
-            raise ValueError(
-                "compact slerp storage is single-stream only "
-                "(batched slots store slerp layers dense)"
-            )
         if factor_dtype == "int4":
-            raise ValueError(
-                "mixed int8+int4 factors are single-stream only for now "
-                "(batched slot insertion copies int8/bf16 factor layouts); "
-                "use factor_dtype='int8' for continuous batching"
+            if cfg.model_type == "deepseek_v2":
+                raise ValueError(
+                    "factor_dtype='int4' is llama-family rope_mode='post' "
+                    "only; MLA uses int8 factors"
+                )
+            if xkv is None or xkv.rope_mode != "post":
+                raise ValueError(
+                    "factor_dtype='int4' requires rope_mode='post' "
+                    "(rank-space decode; docs/ROPE_MODES.md)"
+                )
+            if not (xkv.merge_key and xkv.merge_value):
+                raise ValueError(
+                    "factor_dtype='int4' requires merge_key=True and "
+                    "merge_value=True (the mixed dense/factored path does "
+                    "not carry the packed int4 tail)"
+                )
+            if sparse_topk is not None or speculative_k is not None:
+                raise ValueError(
+                    "factor_dtype='int4' composes with plain batched "
+                    "decode only (the sparse kernel streams int8/bf16 us "
+                    "blocks; llama speculation drafts with sparse_topk)"
+                )
+            max_rank = max(
+                max(g.rank_k or 0, g.rank_v or 0) for g in xkv.layer_groups
             )
+            min_bucket = min(prefill_buckets or [s_max])
+            if min_bucket < max_rank:
+                # A shorter admission bucket clamps the SVD rank below the
+                # configured rank, shrinking the int4 tail — the packed
+                # nibble/eo-row layouts would then misalign with the
+                # full-rank slot allocation.
+                raise ValueError(
+                    f"factor_dtype='int4' needs every prefill bucket >= the "
+                    f"max factor rank ({max_rank}); got bucket {min_bucket}"
+                )
         self._model = model_module
         self._mla = cfg.model_type == "deepseek_v2"
         self._quantized = factor_dtype in ("int8", jnp.int8)
+        self._mixed4 = factor_dtype == "int4"
         # Multi-chip serving (the north-star v5e-8 deployment): slots are
         # DP-sharded over the mesh's data axis; weights, dense cache heads
         # and factor ranks are TP-sharded over the model axis
@@ -203,11 +229,14 @@ class BatchedEngine:
         self._spec_step_jit = jax.jit(self._spec_step_impl)
         self._insert_jit = jax.jit(self._insert_impl, static_argnames=("s_bucket",))
         self._refactor_jit = jax.jit(self._refactor_impl)
-        # Per-slot refactorization only exists for the factored-SVD cache.
+        # Per-slot refactorization: SVD groups refold tails into factors;
+        # compact slerp groups re-compact in place (both in
+        # refactorize_slot_cache). Dense/fake storage never refolds.
         self._can_refactor = (
             xkv is not None
-            and xkv.layer_merge_impl == "svd"
             and (xkv.merge_key or xkv.merge_value)
+            and (xkv.layer_merge_impl == "svd"
+                 or (xkv.layer_merge_impl == "slerp" and xkv.slerp_compact))
         )
 
     # ------------------------------------------------------------ structure
@@ -228,14 +257,64 @@ class BatchedEngine:
                 covered.update(grp.layers)
                 g = len(grp.layers)
                 kw = {}
-                f_dtype = jnp.int8 if self._quantized else self.factor_dtype
-                if xkv.layer_merge_impl == "svd" and xkv.merge_key:
-                    kw["k_us"] = jnp.zeros((B, S, grp.rank_k), f_dtype)
-                    kw["k_vt"] = jnp.zeros(
-                        (B, grp.rank_k, g * hkv * hd), f_dtype
+                quantlike = self._quantized or self._mixed4
+                f_dtype = jnp.int8 if quantlike else self.factor_dtype
+                if self._mixed4:
+                    from xkv_tpu.engine.compression import int4_rank_hi
+
+                    hi_k = int4_rank_hi(grp.rank_k, xkv.int4_rank_frac)
+                    hi_v = int4_rank_hi(grp.rank_v, xkv.int4_rank_frac)
+                compact_slerp = (
+                    xkv.layer_merge_impl == "slerp" and xkv.slerp_compact
+                )
+                if compact_slerp:
+                    # Fixed per-slot exception budget: the admission-time
+                    # keep set (<= keep_frac * s_max) plus one tail fold's
+                    # fresh rows. Beyond that, slot refolds re-approximate
+                    # the lowest-angle rows (single-stream refolds grow the
+                    # budget instead — see refactorize_slot_cache).
+                    D = max(1, int(xkv.slerp_keep_frac * S)) + self.tail_max
+                    sc = SlerpCompact(
+                        base=jnp.zeros((B, hkv, S, hd), self.cache_dtype),
+                        norms=jnp.zeros((B, hkv, S, 2), jnp.float32),
+                        keep_idx=jnp.zeros((B, hkv, D), jnp.int32),
+                        keep_rows=jnp.zeros(
+                            (B, hkv, D, 2, hd), self.cache_dtype
+                        ),
                     )
-                    if self._quantized:
+                    if xkv.merge_key:
+                        kw["slerp_k"] = sc
+                    else:
+                        for l in grp.layers:
+                            dense_k[l] = jnp.zeros(
+                                (B, hkv, S, hd), self.cache_dtype
+                            )
+                    if xkv.merge_value:
+                        kw["slerp_v"] = sc
+                    else:
+                        for l in grp.layers:
+                            dense_v[l] = jnp.zeros(
+                                (B, hkv, S, hd), self.cache_dtype
+                            )
+                    groups.append(GroupFactors(**kw))
+                    continue
+                if xkv.layer_merge_impl == "svd" and xkv.merge_key:
+                    r8_k = hi_k if self._mixed4 else grp.rank_k
+                    kw["k_us"] = jnp.zeros((B, S, r8_k), f_dtype)
+                    kw["k_vt"] = jnp.zeros(
+                        (B, r8_k, g * hkv * hd), f_dtype
+                    )
+                    if quantlike:
                         kw["k_scale"] = jnp.zeros(
+                            (B, 1, g * hkv * hd), jnp.float32
+                        )
+                    if self._mixed4:
+                        lo_k = grp.rank_k - hi_k
+                        kw["k_us4"] = jnp.zeros((B, S, lo_k // 2), jnp.int8)
+                        kw["k_vt4"] = jnp.zeros(
+                            (B, lo_k, g * hkv * hd), jnp.int8
+                        )
+                        kw["k_scale4"] = jnp.zeros(
                             (B, 1, g * hkv * hd), jnp.float32
                         )
                     if self.sparse_topk is not None:
@@ -259,13 +338,20 @@ class BatchedEngine:
                     else (B, hkv, S, hd)
                 )
                 if xkv.layer_merge_impl == "svd" and xkv.merge_value:
-                    kw["v_us"] = jnp.zeros((B, S, grp.rank_v), f_dtype)
+                    r8_v = hi_v if self._mixed4 else grp.rank_v
+                    kw["v_us"] = jnp.zeros((B, S, r8_v), f_dtype)
+                    # v_vt keeps ALL rank_v rows (bf16, [hi | lo-eo] order
+                    # in mixed4); only us splits into int8 + packed int4.
                     kw["v_vt"] = jnp.zeros(
                         (B, grp.rank_v, g * hkv * hd),
-                        jnp.bfloat16 if self._quantized else f_dtype,
+                        jnp.bfloat16 if quantlike else f_dtype,
                     )
-                    if self._quantized:
+                    if quantlike:
                         kw["v_scale"] = jnp.zeros((B, 1, grp.rank_v), jnp.float32)
+                    if self._mixed4:
+                        kw["v_us4"] = jnp.zeros(
+                            (B, S, (grp.rank_v - hi_v) // 2), jnp.int8
+                        )
                 else:
                     for l in grp.layers:
                         dense_v[l] = jnp.zeros(v_shape, self.cache_dtype)
@@ -311,6 +397,7 @@ class BatchedEngine:
                 sparse_block=(
                     self.sparse_block if self.sparse_topk is not None else None
                 ),
+                valid_len=true_len,
             )
         from xkv_tpu.engine.compression import build_uncompressed_cache
 
@@ -338,11 +425,11 @@ class BatchedEngine:
             prefill_kw = {"attention_impl": self.attention_impl}
             if self.mesh is not None:
                 # pallas flash prefill needs the explicit shard_map TP path
-                # (flash_attention_tp); MLA prefill under a mesh stays XLA.
+                # (flash_attention_tp); MLA attention under a mesh stays
+                # XLA, but the mesh still reaches the MoE layers (EP).
                 if self._mla:
                     prefill_kw["attention_impl"] = "xla"
-                else:
-                    prefill_kw["mesh"] = self.mesh
+                prefill_kw["mesh"] = self.mesh
 
             def fn(params, toks, true_len):
                 # Unembed only the last valid position — the full
@@ -451,6 +538,37 @@ class BatchedEngine:
                 src = _pad_to(src, dst.shape[pad_axis], pad_axis)
             return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=0)
 
+        def ins_slerp(dst, src):
+            """Write a bucket-sized SlerpCompact into the slot layout.
+
+            Sequence rows pad with zeros (base/norms 0 -> reconstructs zero
+            rows, masked by prefill_len). The exception budget pads by
+            DUPLICATING entry 0: duplicate scatter indices then write the
+            same values, so compact_reconstruct stays deterministic."""
+            if dst is None:
+                return None
+            D = dst.keep_idx.shape[2]
+            d = src.keep_idx.shape[2]
+            if d < D:
+                reps = [1] * 3
+                reps[2] = D - d
+                idx = jnp.concatenate(
+                    [src.keep_idx, jnp.tile(src.keep_idx[:, :, :1], reps)],
+                    axis=2,
+                )
+                rows = jnp.concatenate(
+                    [src.keep_rows,
+                     jnp.tile(src.keep_rows[:, :, :1], reps + [1, 1])],
+                    axis=2,
+                )
+                src = src.replace(keep_idx=idx, keep_rows=rows)
+            return SlerpCompact(
+                base=ins_field(dst.base, src.base, pad_axis=2),
+                norms=ins_field(dst.norms, src.norms, pad_axis=2),
+                keep_idx=ins_field(dst.keep_idx, src.keep_idx),
+                keep_rows=ins_field(dst.keep_rows, src.keep_rows),
+            )
+
         groups = []
         for gd, gs in zip(batch_cache.groups, cache1.groups):
             groups.append(
@@ -461,9 +579,15 @@ class BatchedEngine:
                     v_vt=ins_field(gd.v_vt, gs.v_vt),
                     k_scale=ins_field(gd.k_scale, gs.k_scale),
                     v_scale=ins_field(gd.v_scale, gs.v_scale),
+                    k_us4=ins_field(gd.k_us4, gs.k_us4, pad_axis=1),
+                    k_vt4=ins_field(gd.k_vt4, gs.k_vt4),
+                    k_scale4=ins_field(gd.k_scale4, gs.k_scale4),
+                    v_us4=ins_field(gd.v_us4, gs.v_us4, pad_axis=1),
                     k_rnorm=ins_field(gd.k_rnorm, gs.k_rnorm, pad_axis=2),
                     k_cmin=ins_field(gd.k_cmin, gs.k_cmin, pad_axis=1),
                     k_cmax=ins_field(gd.k_cmax, gs.k_cmax, pad_axis=1),
+                    slerp_k=ins_slerp(gd.slerp_k, gs.slerp_k),
+                    slerp_v=ins_slerp(gd.slerp_v, gs.slerp_v),
                 )
             )
         dense_k = {

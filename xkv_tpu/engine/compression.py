@@ -71,6 +71,36 @@ def latent_rnorm(k_rec_mat: jax.Array, g: int) -> jax.Array:
     return jnp.transpose(r, (0, 2, 1))
 
 
+def int4_rank_hi(rank: int, frac: float) -> int:
+    """Rank split for mixed int8+int4 factors: top ``r_hi`` ranks stay
+    int8, the tail drops to packed int4.
+
+    Lane alignment: the PACKED width (lo/2) must tile the 128-lane
+    registers exactly at production ranks, or XLA stores the array in a
+    padded layout and inserts a per-decode-step uncompress copy of the
+    whole us4 stream (measured: +3.8 GB HBM temps at 64K x batch 48 ->
+    OOM). The tail rounds DOWN to a 256-rank multiple (packed 128) —
+    toward more int8, conservative for accuracy; tiny test ranks just keep
+    an even tail. A requested tail below one 256-rank tile cannot be
+    realized; forcing it up would silently move ranks the user asked to
+    keep in int8 down to int4, so refuse instead (ADVICE r2).
+    """
+    hi = max(2, int(rank * frac))
+    lo = rank - hi
+    if rank >= 512:
+        lo = (lo // 256) * 256
+        if lo == 0:
+            raise ValueError(
+                f"int4_rank_frac={frac} leaves an int4 tail of "
+                f"{rank - hi} ranks at rank {rank}, below the 256-rank "
+                "lane-alignment tile; use factor_dtype='int8' or "
+                f"int4_rank_frac <= {(rank - 256) / rank:.3f}"
+            )
+    else:
+        lo -= lo % 2
+    return rank - lo
+
+
 def chunk_bounds(
     k_mat: jax.Array,  # (b, s, n_heads*hd) PRE-RoPE group/layer key matrix
     cos: jax.Array,  # (s, hd) RoPE tables (None -> no rotation)
@@ -138,6 +168,7 @@ def build_cache(
     cache_dtype=jnp.bfloat16,
     rope_dense_keys: bool = True,
     sparse_block: Optional[int] = None,
+    valid_len: Optional[jax.Array] = None,
 ) -> XKVCache:
     """Compress prefill K/V into the hybrid cache.
 
@@ -149,6 +180,9 @@ def build_cache(
     mode — `fake_layer_merge_dynamic_cache.py:202-213`).
     sparse_block: when set, also store Quest-style per-chunk (min, max)
     bounds of the post-RoPE keys (``chunk_bounds``) for sparse top-k decode.
+    valid_len: true row count(s) when kvs carry right-padded zero rows
+    (bucketed batched admission) — keeps the SLERP divergence threshold on
+    real rows; the SVD path is padding-invariant (zero rows of U).
     """
     svd_kw = dict(
         method=xkv.svd_method,
@@ -193,34 +227,7 @@ def build_cache(
                 )
 
             def _r_hi(rank):
-                hi = max(2, int(rank * xkv.int4_rank_frac))
-                lo = rank - hi
-                # Lane alignment: the PACKED width (lo/2) must tile the
-                # 128-lane registers exactly at production ranks, or XLA
-                # stores the array in a padded layout and inserts a
-                # per-decode-step uncompress copy of the whole us4 stream
-                # (measured: +3.8 GB HBM temps at 64K x batch 48 -> OOM).
-                # Round the tail DOWN to a 256-rank multiple (packed 128);
-                # tiny test ranks just keep an even tail.
-                if rank >= 512:
-                    # Round DOWN (toward more int8 — conservative for
-                    # accuracy). A requested int4 tail smaller than one
-                    # 256-rank tile cannot be realized under lane
-                    # alignment; forcing it up to 256 would silently move
-                    # ranks the user asked to keep in int8 down to int4,
-                    # so refuse instead.
-                    lo = (lo // 256) * 256
-                    if lo == 0:
-                        raise ValueError(
-                            f"int4_rank_frac={xkv.int4_rank_frac} leaves an "
-                            f"int4 tail of {rank - hi} ranks at rank {rank}, "
-                            "below the 256-rank lane-alignment tile; use "
-                            "factor_dtype='int8' or int4_rank_frac <= "
-                            f"{(rank - 256) / rank:.3f}"
-                        )
-                else:
-                    lo -= lo % 2
-                return rank - lo
+                return int4_rank_hi(rank, xkv.int4_rank_frac)
 
             gf_kwargs = {}
             if xkv.merge_key:
@@ -343,7 +350,8 @@ def build_cache(
             gf_kwargs = {}
             if xkv.merge_key:
                 k1, k2 = minicache_merge_heads(
-                    ks[0], ks[1], t=grp.slerp_t, gamma=grp.slerp_gamma
+                    ks[0], ks[1], t=grp.slerp_t, gamma=grp.slerp_gamma,
+                    valid_len=valid_len,
                 )
                 if compact:
                     gf_kwargs["slerp_k"] = compact_pair(
@@ -357,7 +365,8 @@ def build_cache(
                     dense_k[l] = rope_dense_k(k)
             if xkv.merge_value:
                 v1, v2 = minicache_merge_heads(
-                    vs[0], vs[1], t=grp.slerp_t, gamma=grp.slerp_gamma
+                    vs[0], vs[1], t=grp.slerp_t, gamma=grp.slerp_gamma,
+                    valid_len=valid_len,
                 )
                 if compact:
                     gf_kwargs["slerp_v"] = compact_pair(
@@ -724,6 +733,7 @@ def refactorize_slot_cache(
             v_us4=gf.v_us4,
             k_rnorm=gf.k_rnorm,
             k_cmin=gf.k_cmin, k_cmax=gf.k_cmax,
+            slerp_k=gf.slerp_k, slerp_v=gf.slerp_v,
         )
         if gf.k_us is not None:
             if gf.k_us4 is not None:
@@ -860,6 +870,57 @@ def refactorize_slot_cache(
                 kw.update(
                     v_us=put(gf.v_us, fac_v.us, 0),
                     v_vt=put(gf.v_vt, fac_v.vt, 0),
+                )
+        if gf.slerp_k is not None or gf.slerp_v is not None:
+            # Compact MiniCache slot: reconstruct both layers, write the
+            # tail rows into [plen, plen+t) of the slot's row space (K is
+            # stored post-RoPE — same domain as the tail), re-compact at
+            # the slot's FIXED exception budget. Unlike the growing
+            # single-stream refold, rows past the budget may be
+            # re-approximated (BatchedEngine._empty_batch_cache sizes the
+            # budget for keep_frac * s_max + one fold).
+            from xkv_tpu.compress.slerp import (
+                compact_pair,
+                compact_reconstruct,
+            )
+
+            def take_sc(sc):
+                from xkv_tpu.cache import SlerpCompact
+
+                return SlerpCompact(
+                    base=take(sc.base, 0), norms=take(sc.norms, 0),
+                    keep_idx=take(sc.keep_idx, 0),
+                    keep_rows=take(sc.keep_rows, 0),
+                )
+
+            def refold_slot(sc_full, tails):
+                sc = take_sc(sc_full)
+                D = sc_full.keep_idx.shape[2]
+                x1 = compact_reconstruct(sc, 0, jnp.float32)
+                x2 = compact_reconstruct(sc, 1, jnp.float32)
+                x1 = jax.lax.dynamic_update_slice(
+                    x1, tails[0].astype(jnp.float32), (0, 0, plen, 0))
+                x2 = jax.lax.dynamic_update_slice(
+                    x2, tails[1].astype(jnp.float32), (0, 0, plen, 0))
+                new = compact_pair(x1, x2, D)
+                return SlerpCompact(
+                    base=put(sc_full.base, new.base, 0),
+                    norms=put(sc_full.norms, new.norms, 0),
+                    keep_idx=put(sc_full.keep_idx, new.keep_idx, 0),
+                    keep_rows=put(sc_full.keep_rows, new.keep_rows, 0),
+                )
+
+            from xkv_tpu.cache import SlerpCompact
+
+            if gf.slerp_k is not None:
+                kw["slerp_k"] = refold_slot(
+                    gf.slerp_k,
+                    [take(cache.tail_k[l], 0) for l in layers],
+                )
+            if gf.slerp_v is not None:
+                kw["slerp_v"] = refold_slot(
+                    gf.slerp_v,
+                    [take(cache.tail_v[l], 0) for l in layers],
                 )
         new_groups.append(GroupFactors(**kw))
 

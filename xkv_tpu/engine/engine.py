@@ -181,7 +181,10 @@ class InferenceEngine:
         prefill_kw = {}
         if self.mesh is not None:
             if self._model.__name__.endswith("deepseek"):
+                # MLA attention stays on the blockwise XLA path, but the
+                # mesh still reaches the MoE layers (expert parallelism).
                 prefill_kw["attention_impl"] = "xla"
+                prefill_kw["mesh"] = self.mesh
             else:
                 prefill_kw["attention_impl"] = self.attention_impl
                 prefill_kw["mesh"] = self.mesh

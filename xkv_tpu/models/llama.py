@@ -844,8 +844,20 @@ def decode_step_batched(
         else:
             from xkv_tpu.ops.attention import attention_partial
 
-            k_pf = cache.dense_k[li]
-            v_pf = cache.dense_v[li]
+            if grp_info is not None and gf is not None and (
+                    gf.slerp_k is not None or gf.slerp_v is not None):
+                # Compact MiniCache slot: reconstruct this layer's rows
+                # (K stored post-RoPE, V plain) and mask padded rows.
+                from xkv_tpu.compress.slerp import compact_reconstruct
+
+                gpos_s = grp_info[1]
+                k_pf = (compact_reconstruct(gf.slerp_k, gpos_s, q.dtype)
+                        if gf.slerp_k is not None else cache.dense_k[li])
+                v_pf = (compact_reconstruct(gf.slerp_v, gpos_s, q.dtype)
+                        if gf.slerp_v is not None else cache.dense_v[li])
+            else:
+                k_pf = cache.dense_k[li]
+                v_pf = cache.dense_v[li]
             mask = (
                 jnp.arange(k_pf.shape[2])[None, :] < prefill_len[:, None]
             )[:, None, None, :]

@@ -24,29 +24,54 @@ from xkv_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching ``llama.init_params`` structure."""
+    """PartitionSpec pytree matching ``llama.init_params`` /
+    ``deepseek.init_params`` structure (key-dispatched)."""
+
+    _ATTN = {
+        # llama family: heads on the model axis, Megatron row/col split
+        "wq": P(None, MODEL_AXIS), "wk": P(None, MODEL_AXIS),
+        "wv": P(None, MODEL_AXIS), "wo": P(MODEL_AXIS, None),
+        "bq": P(MODEL_AXIS), "bk": P(MODEL_AXIS), "bv": P(MODEL_AXIS),
+        # deepseek MLA: low-rank down-projections replicated (small),
+        # head-structured up-projections sharded by head
+        "kv_a_proj": P(None, None), "kv_a_norm": P(None),
+        "kv_b_proj": P(None, MODEL_AXIS), "o_proj": P(MODEL_AXIS, None),
+        "q_proj": P(None, MODEL_AXIS),
+        "q_a_proj": P(None, None), "q_a_norm": P(None),
+        "q_b_proj": P(None, MODEL_AXIS),
+    }
+
+    def ffn_spec():
+        return {
+            "w_gate": P(None, MODEL_AXIS),
+            "w_up": P(None, MODEL_AXIS),
+            "w_down": P(MODEL_AXIS, None),
+        }
+
+    def mlp_spec(mlp):
+        if "router" not in mlp:
+            return ffn_spec()
+        # MoE: experts sharded over the model axis (expert parallelism —
+        # moe_expert_parallel's shard_map reads them P(model, None, None))
+        spec = {
+            "router": P(None, None),
+            "experts": {
+                "w_gate": P(MODEL_AXIS, None, None),
+                "w_up": P(MODEL_AXIS, None, None),
+                "w_down": P(MODEL_AXIS, None, None),
+            },
+        }
+        if "shared" in mlp:
+            spec["shared"] = ffn_spec()
+        return spec
 
     def layer_spec(layer):
-        spec = {
-            "attn": {
-                "wq": P(None, MODEL_AXIS),
-                "wk": P(None, MODEL_AXIS),
-                "wv": P(None, MODEL_AXIS),
-                "wo": P(MODEL_AXIS, None),
-            },
-            "mlp": {
-                "w_gate": P(None, MODEL_AXIS),
-                "w_up": P(None, MODEL_AXIS),
-                "w_down": P(MODEL_AXIS, None),
-            },
+        return {
+            "attn": {k: _ATTN[k] for k in layer["attn"]},
+            "mlp": mlp_spec(layer["mlp"]),
             "input_norm": P(None),
             "post_norm": P(None),
         }
-        if "bq" in layer["attn"]:
-            spec["attn"]["bq"] = P(MODEL_AXIS)
-            spec["attn"]["bk"] = P(MODEL_AXIS)
-            spec["attn"]["bv"] = P(MODEL_AXIS)
-        return spec
 
     specs: Dict[str, Any] = {
         "embed": P(None, None),
