@@ -113,3 +113,102 @@ def test_deepseek_loader_roundtrip(tmp_path, variant):
     l1, _ = deepseek.prefill(params, MLA_CFG, prompt)
     l2, _ = deepseek.prefill(loaded, loaded_cfg, prompt)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4)
+
+
+def _window_oracle_generate(params, cfg, prompt, n_new):
+    """Oracle: re-run prompt+prefix through the stateless prefill (whose
+    attention applies the sliding window) each step."""
+    seq = np.asarray(prompt)
+    outs = []
+    for _ in range(n_new):
+        logits, _ = prefill(params, cfg, jnp.asarray(seq))
+        nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
+        outs.append(nxt)
+        seq = np.concatenate([seq, nxt[:, None].astype(np.int32)], axis=1)
+    return np.stack(outs, axis=1)
+
+
+@pytest.mark.parametrize("mode_kw", [
+    {},                                           # pre-RoPE factored
+    {"rope_mode": "post"},                        # rank-space decode
+])
+def test_mistral_window_decode_matches_oracle(mode_kw):
+    """Sliding-window DECODE (VERDICT r2 #6): the factored cache masks keys
+    below pos-window in every decode path; full-rank factorization must
+    match the stateless windowed forward bit-for... closely (fp32)."""
+    cfg = tiny_llama_config(model_type="mistral", sliding_window=10)
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    full_rank = 2 * cfg.num_kv_heads * cfg.head_dim  # lossless for group 2
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=full_rank, rank_v=full_rank,
+        extra_kwargs={"svd_method": "exact", **mode_kw},
+    )
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, cfg.vocab_size, size=(2, 24)).astype(np.int32)
+    n_new = 6  # window 10 < prompt 24: the bound moves through the prefix
+
+    expected = _window_oracle_generate(params, cfg, prompt, n_new)
+    for mode in ("none", "factored"):
+        eng = InferenceEngine(
+            params, cfg, xkv=xkv if mode == "factored" else None, mode=mode,
+            tail_max=n_new + 2, cache_dtype=jnp.float32,
+            factor_dtype=jnp.float32, donate_cache=False,
+        )
+        out = np.asarray(eng.generate(prompt, max_new_tokens=n_new))
+        np.testing.assert_array_equal(out, expected, err_msg=f"mode={mode}")
+
+
+def test_mistral_window_decode_pallas_interpret_matches_xla():
+    """The Pallas kernels' window lower bound (interpret mode on CPU)
+    agrees with the XLA oracle path."""
+    cfg = tiny_llama_config(model_type="mistral", sliding_window=10)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 24)).astype(np.int32)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        eng = InferenceEngine(
+            params, cfg, xkv=xkv, mode="factored", tail_max=8,
+            attention_impl=impl, cache_dtype=jnp.float32,
+            factor_dtype=jnp.float32, donate_cache=False,
+        )
+        outs[impl] = np.asarray(eng.generate(prompt, max_new_tokens=5))
+    np.testing.assert_array_equal(outs["pallas"], outs["xla"])
+
+
+def test_mistral_window_batched_matches_single():
+    """Batched decode applies the per-slot window bound."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    cfg = tiny_llama_config(model_type="mistral", sliding_window=10)
+    params = init_params(cfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)).astype(np.int32)
+               for n in (16, 12)]
+    n_new = 4
+    singles = []
+    for p in prompts:
+        eng = InferenceEngine(
+            params, cfg, xkv=xkv, mode="factored", tail_max=n_new + 2,
+            cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+            donate_cache=False,
+        )
+        singles.append(np.asarray(eng.generate(p[None, :], n_new))[0].tolist())
+    be = BatchedEngine(
+        params, cfg, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    by_id = {r.request_id: r.generated for r in be.run()}
+    for rid, exp in zip(ids, singles):
+        assert by_id[rid] == exp

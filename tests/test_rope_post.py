@@ -348,7 +348,10 @@ def test_int4_validation():
                     sparse_topk=4)
     from xkv_tpu.engine.batching import BatchedEngine
 
-    with pytest.raises(ValueError, match="single-stream"):
+    # Batched int4 is supported since round 3 (tests/test_batching.py);
+    # remaining guard: admission buckets must not clamp the SVD rank below
+    # the configured rank (packed layout alignment).
+    with pytest.raises(ValueError, match="bucket"):
         BatchedEngine(params_l, CFG, xkv=cfg, num_slots=2, s_max=16,
                       tail_max=4, prefill_buckets=[16],
                       factor_dtype="int4")

@@ -390,3 +390,95 @@ def test_moe_expert_parallel_in_engine():
     )
     out_mesh = np.asarray(eng_mesh.generate(prompt, max_new_tokens=4))
     np.testing.assert_array_equal(out_mesh, out_plain)
+
+
+def test_ring_attention_noncausal_matches_reference():
+    """Non-causal ring attention (VERDICT r2 #10) == full bidirectional
+    attention."""
+    import math
+
+    from xkv_tpu.ops.attention import mha_reference
+    from xkv_tpu.ops.ring_attention import ring_attention
+
+    mesh = make_mesh(data=4, model=2)
+    b, hq, hkv, s, hd = 2, 4, 2, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(6), (b, hq, s, hd))
+    k = jax.random.normal(jax.random.PRNGKey(7), (b, hkv, s, hd))
+    v = jax.random.normal(jax.random.PRNGKey(8), (b, hkv, s, hd))
+    scale = 1 / math.sqrt(hd)
+    ref = mha_reference(q, k, v, scale, causal=False)
+    got = ring_attention(
+        q, k, v, mesh=mesh, axis_name="data", scale=scale, causal=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ring_attention_skips_masked_blocks():
+    """Causal ring skips fully-masked (future) K blocks: over an n-shard
+    ring only n*(n+1)/2 of n^2 block computations run (VERDICT r2 #10)."""
+    import math
+
+    import xkv_tpu.ops.ring_attention as ring_mod
+
+    mesh = make_mesh(data=8, model=1)
+    n = 8
+    b, h, s, hd = 1, 2, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(9), (b, h, s, hd))
+    k = jax.random.normal(jax.random.PRNGKey(10), (b, h, s, hd))
+    v = jax.random.normal(jax.random.PRNGKey(11), (b, h, s, hd))
+
+    calls = []
+    orig = ring_mod._local_block_attention
+
+    def counting(*a, **kw):
+        jax.debug.callback(lambda: calls.append(1))
+        return orig(*a, **kw)
+
+    ring_mod._local_block_attention = counting
+    try:
+        out = ring_mod.ring_attention(
+            q, k, v, mesh=mesh, axis_name="data", scale=1 / math.sqrt(hd)
+        )
+        jax.block_until_ready(out)
+    finally:
+        ring_mod._local_block_attention = orig
+    # lax.cond executes the compute branch only for live blocks
+    assert len(calls) == n * (n + 1) // 2, len(calls)
+
+
+def test_sequence_parallel_prefill_matches_single_device(params):
+    """SP prefill through the ENGINE (VERDICT r2 #9): sequence sharded
+    over the data axis, ring attention, factors built from the sharded
+    K/V — logits, compressed cache, and a decode step all match the
+    unsharded engine."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(23)
+    s = 8 * 16  # 8 shards x 16 rows
+    prompt = rng.integers(0, CFG.vocab_size, size=(1, s)).astype(np.int32)
+
+    eng_ref = InferenceEngine(
+        params, CFG, xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    out_ref = np.asarray(eng_ref.generate(prompt, max_new_tokens=5))
+
+    mesh = make_mesh(data=8, model=1)
+    eng_sp = InferenceEngine(
+        params, CFG, xkv=xkv, mode="factored", tail_max=8, mesh=mesh,
+        sequence_parallel=True,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32, donate_cache=False,
+    )
+    out_sp = np.asarray(eng_sp.generate(prompt, max_new_tokens=5))
+    np.testing.assert_array_equal(out_sp, out_ref)
+
+    # logits parity too (not just argmax)
+    lg_ref, _ = eng_ref.prefill(prompt)
+    lg_sp, _ = eng_sp.prefill(prompt)
+    np.testing.assert_allclose(
+        np.asarray(lg_sp), np.asarray(lg_ref), rtol=2e-4, atol=2e-4
+    )

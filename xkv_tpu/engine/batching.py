@@ -161,6 +161,11 @@ class BatchedEngine:
         self._compress_jit: Dict[int, any] = {}
         if sparse_topk is not None and self._mla:
             raise ValueError("sparse_topk is llama-family only")
+        if sparse_topk is not None and cfg.sliding_window is not None:
+            raise ValueError(
+                "sparse_topk does not compose with sliding_window "
+                "(Quest chunk selection has no window lower bound)"
+            )
         self.sparse_topk = sparse_topk
         self.sparse_block = sparse_block
         self._sparse_kw = (

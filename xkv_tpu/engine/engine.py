@@ -44,6 +44,7 @@ class InferenceEngine:
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
         draft_rank: Optional[int] = None,
+        sequence_parallel: bool = False,
     ):
         if mode not in ("factored", "fake", "none"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -57,6 +58,11 @@ class InferenceEngine:
         if sparse_topk is not None:
             if mode != "factored":
                 raise ValueError("sparse_topk requires mode='factored'")
+            if cfg.sliding_window is not None:
+                raise ValueError(
+                    "sparse_topk does not compose with sliding_window "
+                    "(Quest chunk selection has no window lower bound)"
+                )
             if cfg.model_type == "deepseek_v2":
                 raise ValueError(
                     "sparse_topk is llama-family only (MLA's absorbed decode "
@@ -143,6 +149,20 @@ class InferenceEngine:
         self.attention_impl = attention_impl
         self.cache_dtype = cache_dtype
         self.factor_dtype = factor_dtype
+        # Sequence-parallel prefill: the prompt's sequence axis is sharded
+        # over the mesh data axis and attention runs the ring — for
+        # prompts beyond one chip's HBM (VERDICT r2 #9). llama-family only.
+        self.sequence_parallel = sequence_parallel
+        if sequence_parallel:
+            if mesh is None or "data" not in mesh.shape:
+                raise ValueError(
+                    "sequence_parallel requires a mesh with a 'data' axis"
+                )
+            if cfg.model_type == "deepseek_v2":
+                raise ValueError(
+                    "sequence_parallel prefill is llama-family only (MLA "
+                    "prefill shards batch over data instead)"
+                )
 
         self._prefill_fn = jax.jit(self._prefill_impl)
         self._refactorize_fn = jax.jit(self._refactorize_impl)
@@ -188,6 +208,8 @@ class InferenceEngine:
             else:
                 prefill_kw["attention_impl"] = self.attention_impl
                 prefill_kw["mesh"] = self.mesh
+                if self.sequence_parallel:
+                    prefill_kw["sequence_parallel"] = True
         else:
             prefill_kw["attention_impl"] = self.attention_impl
         logits, kvs = self._model.prefill(
@@ -367,10 +389,14 @@ class InferenceEngine:
         """tokens: (b, s) -> (logits (b, s, V) fp32, cache)."""
         tokens = jnp.asarray(tokens, jnp.int32)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
             from xkv_tpu.parallel.sharding import token_pspec
 
-            tokens = jax.device_put(tokens, NamedSharding(self.mesh, token_pspec()))
+            spec = (
+                P(None, "data") if self.sequence_parallel  # seq on data
+                else token_pspec()                         # batch on data
+            )
+            tokens = jax.device_put(tokens, NamedSharding(self.mesh, spec))
         return self._prefill_fn(self.params, tokens)
 
     def decode_step(self, cache, tokens, pos):

@@ -129,6 +129,7 @@ def prefill(
     attention_impl: str = "xla",
     logits_position: Optional[jax.Array] = None,
     mesh=None,
+    sequence_parallel: bool = False,
 ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
     """Full causal forward over a prompt.
 
@@ -152,7 +153,28 @@ def prefill(
     )
     scale = 1.0 / math.sqrt(cfg.head_dim)
 
+    if sequence_parallel:
+        # SP prefill (>chip-context): activations/K/V sharded along the
+        # sequence over the mesh data axis; attention runs the ring
+        # (ops/ring_attention.py). Elementwise/matmul ops shard trivially;
+        # RoPE tables are global-position so sharded rows rotate correctly.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from xkv_tpu.ops.ring_attention import ring_attention
+
+        if mesh is None or "data" not in mesh.shape:
+            raise ValueError("sequence_parallel prefill needs a mesh with "
+                             "a 'data' axis")
+        if s % mesh.shape["data"]:
+            raise ValueError(
+                f"seq {s} must divide the data axis {mesh.shape['data']}"
+            )
+        seq_sharded = jax.lax.with_sharding_constraint
+        sp_spec = NamedSharding(mesh, P(None, "data", None))
+
     h = params["embed"][tokens]
+    if sequence_parallel:
+        h = seq_sharded(h, sp_spec)
     kvs: List[Tuple[jax.Array, jax.Array]] = []
     for layer in params["layers"]:
         resid = h
@@ -161,7 +183,13 @@ def prefill(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k_pre, cos, sin)
         kvs.append((k_pre, v))
-        if attention_impl == "pallas":
+        if sequence_parallel:
+            attn = ring_attention(
+                q, k, v, mesh=mesh, axis_name="data", scale=scale,
+                causal=True, window=cfg.sliding_window,
+            )
+            attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
+        elif attention_impl == "pallas":
             if mesh is not None:
                 from xkv_tpu.ops.pallas.flash_attention import flash_attention_tp
 
@@ -272,6 +300,7 @@ def _post_rope_factored_part(
     tp_ok: bool,
     mesh,
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill lengths
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
 ) -> PartialAttention:
     """Attention over a POST-RoPE factored group (rope_mode="post").
 
@@ -303,16 +332,18 @@ def _post_rope_factored_part(
             out, lse = rankspace_decode_attention(
                 q, gf.k_us, vt_k, gf.v_us, vt_v, lengths,
                 k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+                win_lo=win_lo,
                 scale=scale, num_kv_heads=hkv, **kw4,
             )
             return PartialAttention(out=out, lse=lse)
         return rankspace_decode_attention_xla(
             q, gf.k_us, vt_k, gf.v_us, vt_v, scale, hkv,
             k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
-            valid_len=lengths, **kw4,
+            valid_len=lengths, valid_lo=win_lo, **kw4,
         )
 
     if sparse_ok:
+        assert win_lo is None, "sparse top-k does not compose with window"
         nc = gf.k_cmin.shape[1]
         blk = sparse_block
         assert nc == -(-gf.k_us.shape[1] // blk), (
@@ -365,6 +396,7 @@ def _post_rope_factored_part(
         out, lse = rankspace_decode_attention_tp(
             mesh, q, gf.k_us, vt_k, gf.v_us, vt_v, lengths=lengths,
             k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+            win_lo=win_lo,
             scale=scale, num_kv_heads=hkv,
         )
         return PartialAttention(out=out, lse=lse)
@@ -376,13 +408,14 @@ def _post_rope_factored_part(
         out, lse = rankspace_decode_attention(
             q, gf.k_us, vt_k, gf.v_us, vt_v, lengths=lengths,
             k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+            win_lo=win_lo,
             scale=scale, num_kv_heads=hkv,
         )
         return PartialAttention(out=out, lse=lse)
     return rankspace_decode_attention_xla(
         q, gf.k_us, vt_k, gf.v_us, vt_v, scale, hkv,
         k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
-        valid_len=lengths,
+        valid_len=lengths, valid_lo=win_lo,
     )
 
 
@@ -418,6 +451,21 @@ def decode_step(
     # rope_mode="post": factors hold POST-RoPE keys; decode attention runs
     # in rank space with no reconstruction (configs.py:rope_mode).
     rope_post = xkv is not None and xkv.rope_mode == "post"
+
+    # Sliding window (Mistral semantics, reference `mistral.py:69`): the
+    # query attends only to keys at positions > pos - window. The factored
+    # / dense prefill segments get a column lower bound; tail rows sit at
+    # absolute positions prefill_len + j.
+    win_lo = tail_lo = None
+    if cfg.sliding_window is not None:
+        if ql > 1:
+            raise ValueError(
+                "multi-token decode (speculative verify) with "
+                "sliding_window is not supported"
+            )
+        lo = jnp.maximum(pos - (cfg.sliding_window - 1), 0).astype(jnp.int32)
+        win_lo = jnp.broadcast_to(lo, (b,))
+        tail_lo = jnp.maximum(win_lo - cache.prefill_len, 0)
 
     h = params["embed"][tokens]
     for li, layer in enumerate(params["layers"]):
@@ -476,6 +524,7 @@ def decode_step(
                         q, gf, gpos, cfg, scale, k_scale_slice,
                         sparse_ok, sparse_select, sparse_block,
                         attention_impl, pallas_ok, tp_ok, mesh,
+                        win_lo=win_lo,
                     )
                 )
             elif sparse_ok:
@@ -542,6 +591,7 @@ def decode_step(
                     *kernel_args,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
+                    win_lo=win_lo,
                     scale=scale,
                     num_kv_heads=cfg.num_kv_heads,
                 )
@@ -556,6 +606,7 @@ def decode_step(
                     *kernel_args,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
+                    win_lo=win_lo,
                     scale=scale,
                     num_kv_heads=cfg.num_kv_heads,
                 )
@@ -566,6 +617,7 @@ def decode_step(
                         *factored_args, scale, cfg.num_kv_heads,
                         k_scale_slice=k_scale_slice,
                         v_rank_scale=gf.v_scale,
+                        valid_lo=win_lo,
                     )
                 )
         else:
@@ -609,7 +661,8 @@ def decode_step(
                 v_prefill = compact_reconstruct(gf.slerp_v, gpos, q.dtype)
             else:
                 v_prefill = cache.dense_v[li]
-            parts.append(dense_decode_attention_xla(q, k_prefill, v_prefill, scale))
+            parts.append(dense_decode_attention_xla(
+                q, k_prefill, v_prefill, scale, valid_lo=win_lo))
 
         # --- decode tail (includes this step's token(s)); causal within the
         # window: query i sees tail rows < tail_len + i + 1 (for ql == 1
@@ -620,7 +673,8 @@ def decode_step(
         )
         parts.append(
             dense_decode_attention_xla(
-                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid
+                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid,
+                valid_lo=tail_lo,
             )
         )
 
@@ -668,6 +722,17 @@ def decode_step_batched(
     # sparse top-k decode is single-token (drafts); multi-token passes
     # (speculative verify) fall back to exact attention below (sparse_ok_b
     # carries the ql == 1 guard), so sparse_topk composes with verify.
+    win_lo = tail_lo = None
+    if cfg.sliding_window is not None:
+        if ql > 1:
+            raise ValueError(
+                "multi-token decode (speculative verify) with "
+                "sliding_window is not supported"
+            )
+        win_lo = jnp.maximum(
+            pos - (cfg.sliding_window - 1), 0
+        ).astype(jnp.int32)  # (B,) per-slot lower bound
+        tail_lo = jnp.maximum(win_lo - prefill_len, 0)
     scale = 1.0 / math.sqrt(cfg.head_dim)
     positions = pos[:, None] + jnp.arange(ql, dtype=pos.dtype)[None, :]  # (B, ql)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
@@ -733,7 +798,7 @@ def decode_step_batched(
                         q, gf, gpos, cfg, scale, k_scale_slice,
                         sparse_ok_b, sparse_select, sparse_block,
                         attention_impl, pallas_ok_b, tp_ok_b, mesh,
-                        lengths=prefill_len,
+                        lengths=prefill_len, win_lo=win_lo,
                     )
                 )
             elif sparse_ok_b:
@@ -809,6 +874,7 @@ def decode_step_batched(
                     lengths=prefill_len,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
+                    win_lo=win_lo,
                     scale=scale, num_kv_heads=cfg.num_kv_heads,
                 )
                 parts.append(PartialAttention(out=out_f, lse=lse_f))
@@ -821,6 +887,7 @@ def decode_step_batched(
                     q_pre, *fargs[1:], cos_t_arg, sin_t_arg, prefill_len,
                     k_scale_slice=k_scale_slice,
                     v_rank_scale=gf.v_scale,
+                    win_lo=win_lo,
                     scale=scale, num_kv_heads=cfg.num_kv_heads,
                 )
                 parts.append(PartialAttention(out=out_f, lse=lse_f))
@@ -840,6 +907,10 @@ def decode_step_batched(
                 mask = (
                     jnp.arange(k_f.shape[2])[None, :] < prefill_len[:, None]
                 )[:, None, None, :]
+                if win_lo is not None:
+                    mask &= (
+                        jnp.arange(k_f.shape[2])[None, :] >= win_lo[:, None]
+                    )[:, None, None, :]
                 parts.append(attention_partial(q, k_f, v_f, scale, mask))
         else:
             from xkv_tpu.ops.attention import attention_partial
@@ -861,13 +932,18 @@ def decode_step_batched(
             mask = (
                 jnp.arange(k_pf.shape[2])[None, :] < prefill_len[:, None]
             )[:, None, None, :]
+            if win_lo is not None:
+                mask &= (
+                    jnp.arange(k_pf.shape[2])[None, :] >= win_lo[:, None]
+                )[:, None, None, :]
             parts.append(attention_partial(q, k_pf, v_pf, scale, mask))
 
         # Causal within the new rows: query i sees tail rows < tail_len+i+1.
         valid = tail_len[:, None] + 1 + jnp.arange(ql, dtype=jnp.int32)[None, :]
         parts.append(
             dense_decode_attention_xla(
-                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid
+                q, cache.tail_k[li], cache.tail_v[li], scale, valid_len=valid,
+                valid_lo=tail_lo,
             )
         )
 

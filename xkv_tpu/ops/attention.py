@@ -181,6 +181,7 @@ def factored_decode_attention_xla(
     v_rank_scale: Optional[jax.Array] = None,
     valid_len: Optional[jax.Array] = None,
     pre_rotated: bool = False,
+    valid_lo: Optional[jax.Array] = None,
 ) -> PartialAttention:
     """Decode attention over the factored prefill segment (XLA reference).
 
@@ -202,9 +203,16 @@ def factored_decode_attention_xla(
         v_us, v_vt_slice, num_kv_heads, rank_scale=v_rank_scale
     )
     mask = None
-    if valid_len is not None:
+    if valid_len is not None or valid_lo is not None:
         s = k.shape[2]
-        mask = (jnp.arange(s)[None, :] < valid_len[:, None])[:, None, None, :]
+        cols = jnp.arange(s)[None, :]
+        b_ = k.shape[0]
+        mask = jnp.ones((b_, s), bool)
+        if valid_len is not None:
+            mask &= cols < valid_len[:, None]
+        if valid_lo is not None:  # sliding window: cols >= lo are live
+            mask &= cols >= valid_lo[:, None]
+        mask = mask[:, None, None, :]
     return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale, mask)
 
 
@@ -223,6 +231,7 @@ def rankspace_decode_attention_xla(
     k_vt4_slice: Optional[jax.Array] = None,
     k_scale4_slice: Optional[jax.Array] = None,
     v_us4: Optional[jax.Array] = None,
+    valid_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
 ) -> PartialAttention:
     """Decode attention over POST-RoPE factors (rope_mode="post") entirely
     in rank space — K is never reconstructed.
@@ -275,13 +284,20 @@ def rankspace_decode_attention_xla(
         )
     scores = scores.reshape(b, hq, ql, s_p)
 
-    if valid_len is not None:
-        mask = (jnp.arange(s_p)[None, :] < valid_len[:, None])[:, None, None, :]
+    mask = None
+    if valid_len is not None or valid_lo is not None:
+        cols = jnp.arange(s_p)[None, :]
+        mask = jnp.ones((b, s_p), bool)
+        if valid_len is not None:
+            mask &= cols < valid_len[:, None]
+        if valid_lo is not None:  # sliding window: cols >= lo are live
+            mask &= cols >= valid_lo[:, None]
+        mask = mask[:, None, None, :]
         scores = jnp.where(mask, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     m_safe = jnp.maximum(m, -1e29)
     e = jnp.exp(scores - m_safe)
-    if valid_len is not None:
+    if mask is not None:
         e = jnp.where(mask, e, 0.0)
     l = jnp.sum(e, axis=-1, keepdims=True)
     p = e / jnp.maximum(l, 1e-30)
@@ -375,6 +391,7 @@ def sparse_factored_decode_attention_xla(
     v_rank_scale: Optional[jax.Array] = None,
     valid_len: Optional[jax.Array] = None,
     pre_rotated: bool = False,
+    valid_lo: Optional[jax.Array] = None,
 ) -> PartialAttention:
     """Sparse factored decode attention (XLA reference): gather the selected
     chunks' us rows + position tables, reconstruct ONLY those rows, attend.
@@ -435,11 +452,14 @@ def dense_decode_attention_xla(
     v: jax.Array,
     scale: float,
     valid_len: Optional[jax.Array] = None,
+    valid_lo: Optional[jax.Array] = None,
 ) -> PartialAttention:
     """Decode attention over a dense segment (prefill dense layers or the
     decode tail). ``valid_len`` masks a preallocated ring/tail buffer:
     (b,) or (b, 1) for one shared length, (b, ql) for per-query lengths
-    (multi-token verify steps — query i sees tail rows < valid_len[:, i])."""
+    (multi-token verify steps — query i sees tail rows < valid_len[:, i]).
+    ``valid_lo`` ((b,)) additionally masks rows below a sliding-window
+    lower bound."""
     mask = None
     if valid_len is not None:
         s = k.shape[2]
@@ -453,6 +473,10 @@ def dense_decode_attention_xla(
             )  # (b, 1, ql, s)
         else:
             mask = (jnp.arange(s)[None, :] < valid_len)[:, None, None, :]
+    if valid_lo is not None:
+        s = k.shape[2]
+        lo_mask = (jnp.arange(s)[None, :] >= valid_lo[:, None])[:, None, None, :]
+        mask = lo_mask if mask is None else (mask & lo_mask)
     return attention_partial(q, k, v, scale, mask)
 
 

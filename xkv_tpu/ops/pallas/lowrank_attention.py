@@ -84,7 +84,7 @@ def _lowrank_sparse_kernel(
     ids_ref,  # (b, n_sel) int32 scalar-prefetch — selected chunk ids
     qab_ref,  # (1, hq, 2*hkv*hd) — [qa | qb] along columns
     head_mask_ref,
-    len_ref,  # (b, 1) int32 SMEM
+    len_ref,  # (b, 2) int32 SMEM — [valid_len, window_lo]
     k_us_ref,  # (1, block_s, rk) — block si = chunk ids_ref[bi, si]
     k_vt_ref,
     v_us_ref,
@@ -129,8 +129,8 @@ def _lowrank_kernel(
               # (the cos-field partner), columns [m:] carry q*s_t + q~*c_t
               # (the sin-field partner)
     head_mask_ref,  # (R, hkv*hd)  1.0 on the row's own head's columns
-    len_ref,  # (b, 1) int32 in SMEM — per-sequence valid prefill lengths
-              # (full array: Mosaic rejects (1,1) blocks of a (b,1) array)
+    len_ref,  # (b, 2) int32 in SMEM — per-sequence [valid_len, window_lo]
+              # (full array: Mosaic rejects tiny blocks of a small array)
     k_us_ref,  # (1, block_s, rk)
     k_vt_ref,  # (1, rk, hkv*hd)
     v_us_ref,  # (1, block_s, rv)
@@ -236,9 +236,12 @@ def _lowrank_block_body(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (hq, block_s); attention scale + int8 scale folded into qa/qb
-    col_mask = (
-        col_offset + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
-    ) < len_ref[bi, 0]
+    col_ids = col_offset + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_s), 1
+    )
+    # len_ref rows are [valid_len, window_lo]: cols in [lo, hi) are live
+    # (lo = 0 without a sliding window).
+    col_mask = (col_ids < len_ref[bi, 0]) & (col_ids >= len_ref[bi, 1])
     s = jnp.where(col_mask, s, NEG_INF)
 
     # ---- online softmax over all hq rows at once ----
@@ -350,6 +353,7 @@ def lowrank_decode_attention(
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill length per seq
     k_scale_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd) int8 K scale
     v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv) int8 V scale
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
     *,
     scale: float,
     num_kv_heads: int,
@@ -407,7 +411,12 @@ def lowrank_decode_attention(
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
-    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
+    lengths = jnp.stack(
+        [lengths.reshape(b).astype(jnp.int32),
+         win_lo.reshape(b).astype(jnp.int32)], axis=1
+    )  # (b, 2): [valid_len, window_lo]
 
     kernel = functools.partial(
         _lowrank_kernel,
@@ -428,7 +437,7 @@ def lowrank_decode_attention(
         in_specs=[
             pl.BlockSpec((1, R, 2 * m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((R, m), lambda bi, si: (0, 0)),
-            pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 2), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_s, k_us.shape[2]), lambda bi, si: (bi, si, 0)),
             pl.BlockSpec((1, k_us.shape[2], m), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
@@ -532,7 +541,10 @@ def sparse_lowrank_decode_attention(
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
-    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+    lengths = jnp.stack(
+        [lengths.reshape(b).astype(jnp.int32),
+         jnp.zeros((b,), jnp.int32)], axis=1
+    )  # (b, 2): [valid_len, window_lo=0] (sparse never composes w/ window)
 
     kernel = functools.partial(
         _lowrank_sparse_kernel,
@@ -550,7 +562,7 @@ def sparse_lowrank_decode_attention(
             pl.BlockSpec((1, hq, 2 * m), lambda bi, si, ids: (bi, 0, 0)),
             pl.BlockSpec((hq, m), lambda bi, si, ids: (0, 0)),
             pl.BlockSpec(
-                (b, 1), lambda bi, si, ids: (0, 0), memory_space=pltpu.SMEM
+                (b, 2), lambda bi, si, ids: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, block, k_us.shape[2]),
@@ -608,6 +620,7 @@ def lowrank_decode_attention_tp(
     lengths: Optional[jax.Array] = None,
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
+    win_lo: Optional[jax.Array] = None,
     *,
     scale: float,
     num_kv_heads: int,
@@ -645,13 +658,16 @@ def lowrank_decode_attention_tp(
         rv = v_us.shape[2]
         k_scale_slice = jnp.ones((b, 1, k_vt_slice.shape[2]), jnp.float32)
         v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
 
     def local(q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint, lens,
-              ks_l, vs_l):
+              ks_l, vs_l, lo_l):
         return lowrank_decode_attention(
             q_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint, lens,
             k_scale_slice=ks_l if quantized else None,
             v_rank_scale=vs_l if quantized else None,
+            win_lo=lo_l,
             scale=scale, num_kv_heads=hkv_local, block_s=block_s,
             interpret=interpret,
         )
@@ -686,11 +702,12 @@ def lowrank_decode_attention_tp(
             P(ba),  # lengths
             P(ba, None, model_axis),  # k_scale columns by kv head
             P(ba, None, None),  # v_rank_scale (rank space, shared)
+            P(ba),  # win_lo (sliding-window lower bound)
         ),
         out_specs=(P(ba, model_axis, None, None), P(ba, model_axis, None)),
         check_vma=False,
     )(q_pre, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p, cos_t, sin_t,
-      lengths, k_scale_slice, v_rank_scale)
+      lengths, k_scale_slice, v_rank_scale, win_lo)
     return out, lse
 
 

@@ -81,9 +81,10 @@ def _rankspace_block_body(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (R, block_s); attention + int8 K scales folded into q_emb
-    col_mask = (
-        col_offset + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
-    ) < len_ref[bi, 0]
+    col_ids = col_offset + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_s), 1
+    )
+    col_mask = (col_ids < len_ref[bi, 0]) & (col_ids >= len_ref[bi, 1])
     s = jnp.where(col_mask, s, NEG_INF)
 
     m_prev = m_scratch[...][:, :1]
@@ -178,9 +179,10 @@ def _rankspace_mixed_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    col_mask = (
-        si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
-    ) < len_ref[bi, 0]
+    col_ids = si * block_s + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_s), 1
+    )
+    col_mask = (col_ids < len_ref[bi, 0]) & (col_ids >= len_ref[bi, 1])
     s = jnp.where(col_mask, s, NEG_INF)
 
     m_prev = m_scratch[...][:, :1]
@@ -293,6 +295,7 @@ def rankspace_decode_attention(
     k_vt4_slice: Optional[jax.Array] = None,  # (b, r_lo_k, hkv*hd) eo rows
     k_scale4_slice: Optional[jax.Array] = None,  # (b, 1, hkv*hd)
     v_us4: Optional[jax.Array] = None,  # (b, s_p, r_lo_v/2) packed int4 tail
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
     *,
     scale: float,
     num_kv_heads: int,
@@ -344,7 +347,12 @@ def rankspace_decode_attention(
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
-    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
+    lengths = jnp.stack(
+        [lengths.reshape(b).astype(jnp.int32),
+         win_lo.reshape(b).astype(jnp.int32)], axis=1
+    )  # (b, 2): [valid_len, window_lo]
 
     out_shape = (
         jax.ShapeDtypeStruct((b, R, rv_tot), jnp.float32),
@@ -371,7 +379,7 @@ def rankspace_decode_attention(
             grid=(b, grid_s),
             in_specs=[
                 pl.BlockSpec((1, R, rk_tot), lambda bi, si: (bi, 0, 0)),
-                pl.BlockSpec((b, 1), lambda bi, si: (0, 0),
+                pl.BlockSpec((b, 2), lambda bi, si: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
                 pl.BlockSpec((1, block_s, k_us4.shape[2]),
@@ -393,7 +401,7 @@ def rankspace_decode_attention(
             grid=(b, grid_s),
             in_specs=[
                 pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
-                pl.BlockSpec((b, 1), lambda bi, si: (0, 0),
+                pl.BlockSpec((b, 2), lambda bi, si: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
                 pl.BlockSpec((1, block_s, rv), lambda bi, si: (bi, si, 0)),
@@ -455,7 +463,10 @@ def sparse_rankspace_decode_attention(
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
-    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+    lengths = jnp.stack(
+        [lengths.reshape(b).astype(jnp.int32),
+         jnp.zeros((b,), jnp.int32)], axis=1
+    )  # (b, 2): [valid_len, window_lo=0] (sparse never composes w/ window)
 
     kernel = functools.partial(_rankspace_sparse_kernel, block_s=block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -464,7 +475,7 @@ def sparse_rankspace_decode_attention(
         in_specs=[
             pl.BlockSpec((1, hq, rk), lambda bi, si, ids: (bi, 0, 0)),
             pl.BlockSpec(
-                (b, 1), lambda bi, si, ids: (0, 0), memory_space=pltpu.SMEM
+                (b, 2), lambda bi, si, ids: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, block, rk), lambda bi, si, ids: (bi, ids[bi, si], 0)
@@ -677,6 +688,7 @@ def rankspace_decode_attention_tp(
     lengths: Optional[jax.Array] = None,
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
+    win_lo: Optional[jax.Array] = None,
     *,
     scale: float,
     num_kv_heads: int,
@@ -705,12 +717,15 @@ def rankspace_decode_attention_tp(
     if not quantized:
         k_scale_slice = jnp.ones((b, 1, k_vt_slice.shape[2]), jnp.float32)
         v_rank_scale = jnp.ones((b, 1, v_us.shape[2]), jnp.float32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
 
-    def local(q_l, kus, kvt_l, vus, vvt_l, lens, ks_l, vs_l):
+    def local(q_l, kus, kvt_l, vus, vvt_l, lens, ks_l, vs_l, lo_l):
         return rankspace_decode_attention(
             q_l, kus, kvt_l, vus, vvt_l, lens,
             k_scale_slice=ks_l if quantized else None,
             v_rank_scale=vs_l if quantized else None,
+            win_lo=lo_l,
             scale=scale, num_kv_heads=hkv_local, block_s=block_s,
             interpret=interpret,
         )
@@ -733,11 +748,12 @@ def rankspace_decode_attention_tp(
             P(ba),  # lengths
             P(ba, None, model_axis),  # k_scale columns by kv head
             P(ba, None, None),  # v_rank_scale (rank space, shared)
+            P(ba),  # win_lo (sliding-window lower bound)
         ),
         out_specs=(P(ba, model_axis, None, None), P(ba, model_axis, None)),
         check_vma=False,
     )(q, k_us, k_vt_slice, v_us, v_vt_slice, lengths, k_scale_slice,
-      v_rank_scale)
+      v_rank_scale, win_lo)
     return out, lse
 
 

@@ -1,4 +1,4 @@
-"""Ring attention: sequence-parallel causal attention over a mesh axis.
+"""Ring attention: sequence-parallel attention over a mesh axis.
 
 The reference handles long context on a single device (SURVEY.md §2.5 —
 no SP/CP anywhere); the TPU build adds the standard ring scheme for
@@ -28,7 +28,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from xkv_tpu.ops.attention import NEG_INF
 
 
-def _local_block_attention(q, k, v, scale, q_start, k_start, s_total, window):
+def _local_block_attention(q, k, v, scale, q_start, k_start, s_total, window,
+                           causal=True):
     """Partial attention of a local Q block vs one K/V block with global
     causal masking. q: (b, hkv, qpk, sq, hd); k/v: (b, hkv, sk, hd).
     Returns (m, l, acc) statistics."""
@@ -38,7 +39,9 @@ def _local_block_attention(q, k, v, scale, q_start, k_start, s_total, window):
     ) * scale
     rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
     cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-    mask = (cols <= rows) & (cols < s_total)
+    mask = cols < s_total
+    if causal:
+        mask &= cols <= rows
     if window is not None:
         mask &= cols > rows - window
     scores = jnp.where(mask[None, None, None], scores, NEG_INF)
@@ -63,8 +66,11 @@ def ring_attention(
     causal: bool = True,
     window: Optional[int] = None,
 ) -> jax.Array:
-    """Sequence-parallel causal attention. Returns (b, hq, s, hd) sharded
-    like q. Requires s % mesh.shape[axis_name] == 0."""
+    """Sequence-parallel attention (causal by default; ``causal=False``
+    runs the full bidirectional mask). Causal rings skip fully-masked
+    future blocks via lax.cond — n(n+1)/2 of n^2 block computations run
+    (the K/V rotation itself is unconditional). Returns (b, hq, s, hd)
+    sharded like q. Requires s % mesh.shape[axis_name] == 0."""
     from jax import shard_map
 
     b, hq, s, hd = q.shape
@@ -72,8 +78,6 @@ def ring_attention(
     n = mesh.shape[axis_name]
     assert s % n == 0, f"seq {s} must divide ring size {n}"
     s_local = s // n
-    if not causal:
-        raise NotImplementedError("ring attention: causal only")
 
     def local_fn(q_l, k_l, v_l):
         # q_l: (b, hq, s_local, hd); k_l/v_l: (b, hkv, s_local, hd)
@@ -86,14 +90,38 @@ def ring_attention(
             # Block currently held arrived from shard (idx - i) mod n.
             src = (idx - i) % n
             k_start = src * s_local
-            m_c, l_c, acc_c = _local_block_attention(
-                qg, k_cur, v_cur, scale, q_start, k_start, s, window
-            )
-            m_next = jnp.maximum(m_prev, m_c)
-            alpha = jnp.exp(m_prev - m_next)
-            beta = jnp.exp(m_c - m_next)
-            l_next = alpha * l_prev + beta * l_c
-            acc_next = acc * alpha + acc_c * beta
+
+            def compute(_):
+                m_c, l_c, acc_c = _local_block_attention(
+                    qg, k_cur, v_cur, scale, q_start, k_start, s, window,
+                    causal=causal,
+                )
+                m_next = jnp.maximum(m_prev, m_c)
+                alpha = jnp.exp(m_prev - m_next)
+                beta = jnp.exp(m_c - m_next)
+                l_next = alpha * l_prev + beta * l_c
+                acc_next = acc * alpha + acc_c * beta
+                return m_next, l_next, acc_next
+
+            def skip(_):
+                return m_prev, l_prev, acc
+
+            if causal:
+                # Causal: a K block strictly in this shard's future is
+                # fully masked — skip its FLOPs (halves average compute;
+                # the block still travels the ring). A windowed causal
+                # mask also dies once the block falls behind the window.
+                needed = src <= idx
+                if window is not None:
+                    # window mask is col > row - window; with rows starting
+                    # at q_start, a block is live iff its NEWEST col
+                    # (k_start + s_local - 1) clears q_start - window.
+                    needed &= k_start + s_local - 1 > q_start - window
+                m_next, l_next, acc_next = jax.lax.cond(
+                    needed, compute, skip, None
+                )
+            else:
+                m_next, l_next, acc_next = compute(None)
             # Rotate K/V around the ring (shard i -> i+1).
             perm = [(j, (j + 1) % n) for j in range(n)]
             k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
