@@ -542,6 +542,32 @@ def main():
         tps_pre = measure_decode(eng_pre, prompt, b_fact, steps)
         record["rope_pre_tokens_per_s"] = round(tps_pre, 2)
         record["rope_pre_vs_baseline"] = round(tps_pre / tps_none, 3)
+        del eng_pre
+    # Supplementary: the accuracy-parity serving point — post at rank
+    # 768/1024 + int8 recovers near-baseline accuracy on the
+    # production-geometry gate (docs/ROPE_MODES.md round-3 study) at
+    # ~9x KV compression; this measures what that recovery costs in
+    # throughput at the same serving batch.
+    if (args.rope_mode == "post" and args.factor_dtype == "int8"
+            and not (args.quick or args.matched or args.only or args.mla)):
+        from xkv_tpu.configs import generate_consecutive_xkv_config
+
+        xkv_hi = generate_consecutive_xkv_config(
+            num_layers=cfg.num_layers, end_layer=-1, group_size=4,
+            rank_k=768, rank_v=1024, extra_kwargs={"rope_mode": "post"},
+        )
+        eng_hi = InferenceEngine(
+            params, cfg, xkv=xkv_hi, mode="factored", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            factor_dtype="int8", prefill_logits="last",
+        )
+        # rank 768/1024 factors are 1.4x wider than 512/768 -> scale the
+        # serving batch to the same HBM footprint.
+        b_hi = max(8, int(b_fact * (512 + 768) / (768 + 1024)))
+        tps_hi = measure_decode(eng_hi, prompt, b_hi, steps)
+        record["rank768_tokens_per_s"] = round(tps_hi, 2)
+        record["rank768_batch"] = b_hi
+        record["rank768_vs_baseline"] = round(tps_hi / tps_none, 3)
     print(json.dumps(record))
 
 

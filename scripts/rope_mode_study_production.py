@@ -95,6 +95,42 @@ def make_induction_batch(rng, batch, L, m_min=8, m_max=None):
     return toks, mask
 
 
+def make_needle_train_batch(rng, batch, L, n_needles=8):
+    """Needle-retrieval training: (key, value) bigrams planted at RANDOM
+    depths across the whole context, query key at the second-to-last
+    position, loss only on the answer token. Trains content retrieval at
+    every relative distance up to L."""
+    toks = rng.integers(NOISE_LO, NOISE_HI, size=(batch, L + 1)).astype(np.int32)
+    toks[:, 0] = 1
+    mask = np.zeros((batch, L + 1), np.float32)
+    for i in range(batch):
+        keys = rng.choice(np.arange(NEEDLE_LO, NEEDLE_HI), size=n_needles,
+                          replace=False)
+        vals = rng.integers(NEEDLE_LO, NEEDLE_HI, size=n_needles)
+        depths = rng.choice(np.arange(1, L - 3), size=n_needles, replace=False)
+        for k, v, d in zip(keys, vals, depths):
+            toks[i, d] = k
+            toks[i, d + 1] = v
+        j = int(rng.integers(n_needles))
+        toks[i, L - 1] = keys[j]
+        toks[i, L] = vals[j]
+        mask[i, L] = 1.0
+    return toks, mask
+
+
+def make_mixed_batch(rng, batch, L, needle_frac=0.5, m_max=None):
+    """Per-SAMPLE mix of copy (ordered recall / NLL competence) and needle
+    (multi-needle competence at all depths) in one batch — per-step task
+    alternation destabilizes early training (measured: loss plateaus at
+    the needle-answer entropy); within-batch mixing keeps both gradients
+    present every step. Used only after the copy stages form the
+    induction circuit."""
+    tc, mc = make_induction_batch(rng, batch, L, m_max=m_max)
+    tn, mn = make_needle_train_batch(rng, batch, L)
+    pick = (rng.random(batch) < needle_frac)[:, None]
+    return np.where(pick, tn, tc), np.where(pick, mn, mc).astype(np.float32)
+
+
 def xkv_with(rank_k, rank_v, mode):
     return generate_consecutive_xkv_config(
         num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1,
@@ -137,31 +173,38 @@ def ordered_recall(params, xkv, rows, n, m=TRAIN_DIST, keep=8, gen=64,
     return float((out == x[:, keep:keep + gen]).mean())
 
 
+NEEDLE_KEY, NEEDLE_VAL = 4, 4  # needle = key-prefix + value segment
+
+
 def needle_prompts(rng, n, ctx, n_needles):
-    """Noise contexts with planted (key, value) needle bigrams; returns
-    (prompts (n, ctx+2), answers (n,)) querying one needle per sequence."""
+    """Noise contexts with ``n_needles`` planted 8-token needles (4-token
+    key prefix + 4-token value, needle-range tokens) at distinct random
+    depths; the prompt ends with one needle's key prefix and the model
+    must reproduce its value segment (niah's retrieve-the-planted-fact
+    mechanism, expressed through the same content-addressed continuation
+    the model is trained for). Returns (prompts (n, 1+ctx+KEY),
+    answers (n, VAL))."""
+    seg = NEEDLE_KEY + NEEDLE_VAL
     toks = rng.integers(NOISE_LO, NOISE_HI, size=(n, ctx)).astype(np.int32)
-    answers = np.zeros((n,), np.int32)
-    queried = np.zeros((n,), np.int32)
+    answers = np.zeros((n, NEEDLE_VAL), np.int32)
+    queried = np.zeros((n, NEEDLE_KEY), np.int32)
     for i in range(n):
-        keys = rng.choice(
-            np.arange(NEEDLE_LO, NEEDLE_HI), size=n_needles, replace=False
-        )
-        vals = rng.integers(NEEDLE_LO, NEEDLE_HI, size=n_needles)
         # depths span the final trained-distance window (retrieval stays
         # in the circuit's competence; the cache still holds all ctx rows)
         d0 = max(1, ctx - TRAIN_DIST)
-        depths = np.sort(
-            rng.choice(np.arange(d0, ctx - 1), size=n_needles, replace=False)
-        )
-        for k, v, d in zip(keys, vals, depths):
-            toks[i, d] = k
-            toks[i, d + 1] = v
-        j = i % n_needles  # rotate the queried depth across sequences
-        queried[i] = keys[j]
-        answers[i] = vals[j]
+        depths = rng.choice(
+            np.arange(d0 // seg, (ctx - seg) // seg),
+            size=n_needles, replace=False,
+        ) * seg  # segment-aligned: needles never overlap
+        needles = rng.integers(NEEDLE_LO, NEEDLE_HI,
+                               size=(n_needles, seg))
+        for nd, d in zip(needles, depths):
+            toks[i, d: d + seg] = nd
+        j = i % n_needles  # rotate the queried needle across sequences
+        queried[i] = needles[j][:NEEDLE_KEY]
+        answers[i] = needles[j][NEEDLE_KEY:]
     prompts = np.concatenate(
-        [np.ones((n, 1), np.int32), toks, queried[:, None]], axis=1
+        [np.ones((n, 1), np.int32), toks, queried], axis=1
     )
     return prompts, answers
 
@@ -170,9 +213,11 @@ def multi_needle(params, xkv, ctx, n, n_needles=8, seed=11,
                  factor_dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     prompts, answers = needle_prompts(rng, n, ctx, n_needles)
-    eng = make_engine(params, xkv, tail=4, factor_dtype=factor_dtype)
-    out = np.asarray(eng.generate(jnp.asarray(prompts), max_new_tokens=1))
-    return float((out[:, 0] == answers).mean())
+    eng = make_engine(params, xkv, tail=NEEDLE_VAL + 2,
+                      factor_dtype=factor_dtype)
+    out = np.asarray(eng.generate(jnp.asarray(prompts),
+                                  max_new_tokens=NEEDLE_VAL))
+    return float((out == answers).mean())
 
 
 def teacher_forced_nll(params, xkv, rows, n, m=TRAIN_DIST, n_score=256,
@@ -205,7 +250,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=16384,
                     help="factored rows per sequence (context length)")
-    ap.add_argument("--train-steps", type=int, default=200)
+    ap.add_argument("--train-steps", type=int, default=60)
     ap.add_argument("--n", type=int, default=8, help="sequences per task")
     ap.add_argument("--ranks", default="512:768,256:384",
                     help="rank_k:rank_v points, comma-separated")
@@ -214,21 +259,44 @@ def main():
     args = ap.parse_args()
 
     print(f"backend: {jax.default_backend()}", flush=True)
-    rng = np.random.default_rng(0)
-    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
     t0 = time.time()
+    # Induction formation is a known training lottery (~1/3 of seeds
+    # plateau at the unigram loss on this task); retry the first stage
+    # over a deterministic seed list until the circuit forms.
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        params = init_params(CFG, jax.random.PRNGKey(seed), dtype=jnp.float32)
+        params, history = train_lm(
+            params, CFG,
+            lambda i: make_induction_batch(rng, 64, 64),
+            steps=2500, lr=2e-3, log_every=1250, verbose=True,
+        )
+        print(f"seed {seed} stage L=64: loss {history[-1]:.4f}", flush=True)
+        if history[-1] < 0.5:
+            break
+    else:
+        raise RuntimeError("induction never formed over 8 seeds")
     # Length curriculum with RANDOM per-sample copy distances (see
     # make_induction_batch): short lengths form the content-addressed
     # circuit quickly; longer stages extend it to production distances.
     # (Recipe validated 2026-08-21: final-stage loss ~0.19; a narrow
     # residual trunk trains the circuit where hidden 1024 plateaus, and
     # KV geometry — the thing the study measures — is unchanged.)
-    for L, steps, lr in ((64, 2500, 2e-3), (256, 600, 5e-4),
-                         (TRAIN_DIST, 300, 2e-4),
-                         (2 * TRAIN_DIST, args.train_steps, 1e-4)):
+    # Pure-copy curriculum (needle mixing destabilizes the long stages —
+    # measured; the copy-trained circuit generalizes to needle retrieval).
+    # Long stages cap the copy distance at TRAIN_DIST: distance growth
+    # beyond it (m_max = L/2 at L >= 8K) collapses training.
+    stages = [(256, 600, 5e-4, 16), (1024, 400, 2e-4, 8),
+              (2048, 250, 1e-4, 4), (4096, 120, 1e-4, 2),
+              (8192, 80, 5e-5, 1), (16384, args.train_steps, 5e-5, 1)]
+    for L, steps, lr, b in stages:
+        if L > args.rows:
+            continue
         params, history = train_lm(
             params, CFG,
-            lambda i, L=L: make_induction_batch(rng, max(16, 4096 // L), L),
+            lambda i, L=L, b=b: make_induction_batch(
+                rng, b, L, m_min=min(64, L // 4),
+                m_max=min(TRAIN_DIST, L // 2)),
             steps=steps, lr=lr, log_every=max(25, steps // 2), verbose=True,
         )
         print(f"stage L={L}: loss {history[-1]:.4f}", flush=True)

@@ -11,6 +11,12 @@ the pre-vs-post accuracy trade measured in scripts/rope_mode_study.py
   * well beyond it (24x), post degrades FASTER than pre — the
     higher post-domain truncation error is real, it just doesn't bite
     until far past the operating point.
+
+NOTE (round 3): at PRODUCTION geometry (head_dim 128, 8 KV heads,
+group 4, 16K rows) the post-mode cost appears already at the 8x
+operating point (-0.10 ordered recall) while pre stays exactly free —
+scripts/rope_mode_study_production.py and docs/ROPE_MODES.md carry the
+full study. This toy gate still pins the qualitative ordering.
 """
 
 import numpy as np

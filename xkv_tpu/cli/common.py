@@ -80,6 +80,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="compact MiniCache storage (direction + norms "
                         "+ exception rows) for slerp groups")
     parser.add_argument("--slerp_keep_frac", type=float, default=0.125)
+    parser.add_argument("--sequence_parallel", action="store_true",
+                        help="shard the prompt's sequence axis over the "
+                        "mesh data axis and run ring-attention prefill "
+                        "(for prompts beyond one chip's HBM)")
     return parser
 
 
@@ -152,10 +156,12 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
                      or jax.default_backend() == "tpu") else "xla"
     )
     mesh = None
-    if args.mesh_model > 1:
+    if args.mesh_model > 1 or getattr(args, "sequence_parallel", False):
         from xkv_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(model=args.mesh_model)
+        mesh = make_mesh(model=max(1, args.mesh_model))
+    if getattr(args, "sequence_parallel", False):
+        kw.setdefault("sequence_parallel", True)
     factor_dtype = {
         "bf16": jnp.bfloat16, "fp32": jnp.float32, "int8": "int8",
         "int4": "int4",

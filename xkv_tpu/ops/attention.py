@@ -568,8 +568,12 @@ def blockwise_causal_attention(
             jnp.zeros((b, hkv, hq // hkv, q_chunk, 1), jnp.float32),
             jnp.zeros((b, hkv, hq // hkv, q_chunk, hd_v), jnp.float32),
         )
+        # remat the per-chunk body: under grad, the scan would otherwise
+        # save every chunk's (qc, kc) score/probability residuals — a
+        # (nq*nk, qc, kc)-sized footprint that OOMs long-context training
+        # (flash-attention-style recomputation; free for inference).
         (m, l, acc), _ = jax.lax.scan(
-            kv_step, init, (jnp.arange(nk), k_blocks, v_blocks)
+            jax.checkpoint(kv_step), init, (jnp.arange(nk), k_blocks, v_blocks)
         )
         out = acc / jnp.maximum(l, 1e-30)
         return carry, out.astype(q.dtype)
