@@ -169,7 +169,8 @@ def measure_decode(eng, prompt, batch: int, steps: int,
     return batch / per_step
 
 
-def step_cost(cfg, xkv, cache, params, batch: int):
+def step_cost(cfg, xkv, cache, params, batch: int, rope_mode: str = "post",
+              sparse_rows: int = 0):
     """Roofline accounting for ONE batched decode step: (bytes_moved, flops).
 
     Bytes: every cache leaf is streamed from HBM once per step per consumer
@@ -178,13 +179,25 @@ def step_cost(cfg, xkv, cache, params, batch: int):
     bases once per group (each layer takes a disjoint column slice), dense
     segments and tails once, and the weights once (batch-independent).
     FLOPs: 2*B*(matmul params) for the dense stack + the attention terms of
-    whichever cache path each layer runs (rank-space factored:
-    2*B*hq*S*(r_k+r_v) dominant; dense: 4*B*hq*S*hd). Both are analytic
-    estimates (no XLA fusion/padding modeled) — good to a few percent,
-    enough to anchor tokens/s to the hardware roofline.
+    whichever cache path each layer runs. Both are analytic estimates (no
+    XLA fusion/padding modeled) — good to a few percent, enough to anchor
+    tokens/s to the hardware roofline.
+
+    ``rope_mode``: "post" counts the rank-space decode (2*B*hq*S*(rk+rv)
+    dominant); "pre" counts the reconstruction algorithm of
+    ops/pallas/lowrank_attention.py — per layer a 2*B*S*rk*m K
+    reconstruction GEMM (int8-eligible), a 2*B*hq*S*2m two-trig-field
+    score GEMM, and the 2*B*hq*S*rv rank-space value path.
+    ``sparse_rows``: with Quest top-k selection, only ~sparse_rows of the
+    S factored rows stream per step per layer (us panels and attention
+    FLOPs scale down; vt bases and the Quest bounds still read in full).
     """
     def nbytes(a):
-        return 0 if a is None else a.size * a.dtype.itemsize
+        if a is None:
+            return 0
+        if not hasattr(a, "dtype"):  # SlerpCompact: sum its array leaves
+            return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(a))
+        return a.size * a.dtype.itemsize
 
     bytes_moved = 0
     # weights, once per step
@@ -200,12 +213,17 @@ def step_cost(cfg, xkv, cache, params, batch: int):
     groups = list(getattr(cache, "groups", ()) or ())
     grp_sizes = [len(g.layers) for g in xkv.layer_groups] if xkv else []
     hq = cfg.num_q_heads
+    hd = cfg.head_dim
+    m_layer = cfg.num_kv_heads * hd
     for gf, g in zip(groups, grp_sizes):
         S = gf.k_us.shape[1] if gf.k_us is not None else (
             gf.v_us.shape[1] if gf.v_us is not None else 0)
-        # us panels re-read per layer of the group; vt/scale once per group
+        frac = min(1.0, sparse_rows / S) if sparse_rows and S else 1.0
+        S_eff = frac * S
+        # us panels re-read per layer of the group (selected rows only in
+        # sparse mode); vt/scale/bounds once per group
         for name in ("k_us", "v_us", "k_us4", "v_us4"):
-            bytes_moved += g * nbytes(getattr(gf, name, None))
+            bytes_moved += g * frac * nbytes(getattr(gf, name, None))
         for name in ("k_vt", "v_vt", "k_vt4", "k_scale", "v_scale",
                      "k_scale4", "k_rnorm", "k_cmin", "k_cmax",
                      "slerp_k", "slerp_v"):
@@ -216,11 +234,21 @@ def step_cost(cfg, xkv, cache, params, batch: int):
         r_v = gf.v_us.shape[-1] if gf.v_us is not None else 0
         if gf.v_us4 is not None:
             r_v += 2 * gf.v_us4.shape[-1]
-        # per layer: q fold (hd*r) + rank-space scores/values over S rows
-        hd = cfg.head_dim
-        flops += g * 2.0 * batch * hq * (
-            S * (r_k + r_v) + hd * (r_k + r_v)
-        )
+        if rope_mode == "pre":
+            # reconstruction kernel: K recon GEMM + 2-field score GEMM +
+            # rank-space value path (module docstring of
+            # ops/pallas/lowrank_attention.py)
+            flops += g * 2.0 * batch * (
+                S_eff * r_k * m_layer          # us @ vt reconstruction
+                + hq * S_eff * 2 * m_layer     # [qa|qb] @ [K*cos|K*sin]
+                + hq * S_eff * r_v             # P @ v_us
+                + hd * (r_k + r_v)             # query embeds / projection
+            )
+        else:
+            # rank-space decode: q fold (hd*r) + scores/values over S rows
+            flops += g * 2.0 * batch * hq * (
+                S_eff * (r_k + r_v) + hd * (r_k + r_v)
+            )
     for seg in (getattr(cache, "dense_k", {}) or {},
                 getattr(cache, "dense_v", {}) or {}):
         for arr in seg.values():
@@ -338,6 +366,9 @@ def main():
     ap.add_argument("--no-pre-extra", action="store_true",
                     help="skip the supplementary reference-semantics "
                     "(rope=pre) measurement in the default headline run")
+    ap.add_argument("--no-depth-sweep", action="store_true",
+                    help="skip the supplementary depth-scaling sweep "
+                    "(4/16-layer points) in the default headline run")
     ap.add_argument("--peak-hbm-gbps", type=float, default=PEAK_HBM_GBPS,
                     help="nominal HBM bandwidth for the hbm_util field")
     ap.add_argument("--peak-tflops", type=float, default=PEAK_TFLOPS,
@@ -498,18 +529,37 @@ def main():
         record["verify_mt_positions_per_s"] = round(tps_verify, 2)
         record["verify_mt_vs_baseline"] = round(tps_verify / tps_none, 3)
         record["verify_ql"] = args.verify_ql
+    def roofline_fields(tag, cost, tps, b):
+        """Per-mode roofline anchoring (VERDICT r3 #8): analytic bytes /
+        FLOPs at the measured step rate."""
+        steps_per_s = tps / b
+        record[f"hbm_util_{tag}"] = round(
+            cost[0] * steps_per_s / (args.peak_hbm_gbps * 1e9), 3)
+        record[f"mfu_{tag}"] = round(
+            cost[1] * steps_per_s / (args.peak_tflops * 1e12), 3)
+        record[f"step_gb_{tag}"] = round(cost[0] / 1e9, 3)
+
     # Supplementary: opt-in approximate sparse top-k decode at the same
     # batch (headline value/vs_baseline stay EXACT factored attention).
+    sp_k = args.sparse or 8
     if not (args.quick or args.matched or args.no_sparse_extra or args.mla):
         eng_sp = InferenceEngine(
             params, cfg, xkv=xkv, mode="factored", tail_max=tail,
             attention_impl=attention_impl, donate_cache=False,
             factor_dtype=factor_dtype, prefill_logits="last",
-            sparse_topk=args.sparse or 8, sparse_block=args.sparse_block,
+            sparse_topk=sp_k, sparse_block=args.sparse_block,
         )
-        tps_sp = measure_decode(eng_sp, prompt, b_fact, steps)
+        prepped_sp = prep_cache(eng_sp, prompt, b_fact)
+        cost_sp = step_cost(
+            cfg, xkv, prepped_sp[0], params, b_fact,
+            rope_mode=args.rope_mode, sparse_rows=sp_k * args.sparse_block,
+        )
+        tps_sp = measure_decode(eng_sp, prompt, b_fact, steps,
+                                prepped=prepped_sp)
         record["sparse_topk_tokens_per_s"] = round(tps_sp, 2)
         record["sparse_topk_vs_baseline"] = round(tps_sp / tps_none, 3)
+        roofline_fields("sparse", cost_sp, tps_sp, b_fact)
+        del eng_sp, prepped_sp
     # Supplementary: mixed int8+int4 packed factors at the same batch
     # (docs/ROPE_MODES.md — accuracy-neutral at the operating compression
     # on the offline gate; ~26x total KV compression).
@@ -520,12 +570,18 @@ def main():
             attention_impl=attention_impl, donate_cache=False,
             factor_dtype="int4", prefill_logits="last",
         )
-        tps_i4 = measure_decode(eng_i4, prompt, b_fact, steps)
+        prepped_i4 = prep_cache(eng_i4, prompt, b_fact)
+        cost_i4 = step_cost(cfg, xkv, prepped_i4[0], params, b_fact)
+        tps_i4 = measure_decode(eng_i4, prompt, b_fact, steps,
+                                prepped=prepped_i4)
         record["int4_tokens_per_s"] = round(tps_i4, 2)
         record["int4_vs_baseline"] = round(tps_i4 / tps_none, 3)
-        del eng_i4
+        roofline_fields("int4", cost_i4, tps_i4, b_fact)
+        del eng_i4, prepped_i4
     # Supplementary: the reference-semantics pre-RoPE scheme at the same
-    # serving batch (reconstruction kernel), when the headline is post.
+    # serving batch (reconstruction kernel), when the headline is post —
+    # plus its sparse-gated composition (VERDICT r4 #1: Quest selection
+    # gates the reconstruction GEMM, so only selected chunks reconstruct).
     if (args.rope_mode == "post" and not args.no_pre_extra
             and not (args.quick or args.matched or args.only or args.mla)):
         from xkv_tpu.configs import generate_consecutive_xkv_config
@@ -539,10 +595,32 @@ def main():
             attention_impl=attention_impl, donate_cache=False,
             factor_dtype=factor_dtype, prefill_logits="last",
         )
-        tps_pre = measure_decode(eng_pre, prompt, b_fact, steps)
+        prepped_pre = prep_cache(eng_pre, prompt, b_fact)
+        cost_pre = step_cost(cfg, xkv_pre, prepped_pre[0], params, b_fact,
+                             rope_mode="pre")
+        tps_pre = measure_decode(eng_pre, prompt, b_fact, steps,
+                                 prepped=prepped_pre)
         record["rope_pre_tokens_per_s"] = round(tps_pre, 2)
         record["rope_pre_vs_baseline"] = round(tps_pre / tps_none, 3)
-        del eng_pre
+        roofline_fields("pre", cost_pre, tps_pre, b_fact)
+        del eng_pre, prepped_pre
+        eng_pre_sp = InferenceEngine(
+            params, cfg, xkv=xkv_pre, mode="factored", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            factor_dtype=factor_dtype, prefill_logits="last",
+            sparse_topk=sp_k, sparse_block=args.sparse_block,
+        )
+        prepped_psp = prep_cache(eng_pre_sp, prompt, b_fact)
+        cost_psp = step_cost(
+            cfg, xkv_pre, prepped_psp[0], params, b_fact, rope_mode="pre",
+            sparse_rows=sp_k * args.sparse_block,
+        )
+        tps_psp = measure_decode(eng_pre_sp, prompt, b_fact, steps,
+                                 prepped=prepped_psp)
+        record["rope_pre_sparse_tokens_per_s"] = round(tps_psp, 2)
+        record["rope_pre_sparse_vs_baseline"] = round(tps_psp / tps_none, 3)
+        roofline_fields("pre_sparse", cost_psp, tps_psp, b_fact)
+        del eng_pre_sp, prepped_psp
     # Supplementary: the accuracy-parity serving point — post at rank
     # 768/1024 + int8 recovers near-baseline accuracy on the
     # production-geometry gate (docs/ROPE_MODES.md round-3 study) at
@@ -564,10 +642,64 @@ def main():
         # rank 768/1024 factors are 1.4x wider than 512/768 -> scale the
         # serving batch to the same HBM footprint.
         b_hi = max(8, int(b_fact * (512 + 768) / (768 + 1024)))
-        tps_hi = measure_decode(eng_hi, prompt, b_hi, steps)
+        prepped_hi = prep_cache(eng_hi, prompt, b_hi)
+        cost_hi = step_cost(cfg, xkv_hi, prepped_hi[0], params, b_hi)
+        tps_hi = measure_decode(eng_hi, prompt, b_hi, steps,
+                                prepped=prepped_hi)
         record["rank768_tokens_per_s"] = round(tps_hi, 2)
         record["rank768_batch"] = b_hi
         record["rank768_vs_baseline"] = round(tps_hi / tps_none, 3)
+        roofline_fields("rank768", cost_hi, tps_hi, b_hi)
+        del eng_hi, prepped_hi
+    # Supplementary: depth-scaling sweep (VERDICT r3 #3) — validates that
+    # the 8-layer headline extrapolates with depth. The dense baseline's
+    # max batch shrinks super-linearly with depth (weights + 2.1 GB/seq
+    # cache at 64K), so vs_baseline should be stable-or-GROWING; at L=16
+    # the dense cache fits batch 1 only, and full-depth Llama-3.1-8B
+    # (L=32, 16 GB bf16 weights alone) cannot serve 64K dense at all —
+    # which is the serving story the factored cache exists to fix.
+    if not (args.quick or args.matched or args.only or args.mla
+            or args.no_depth_sweep):
+        sweep = [
+            {"layers": args.layers, "batch_fact": b_fact,
+             "batch_dense": b_dense, "tokens_per_s": record["value"],
+             "dense_tokens_per_s": round(tps_none, 2),
+             "vs_baseline": record["vs_baseline"]},
+        ]
+        for L in (4, 16):
+            if L == args.layers:
+                continue
+            cfg_L, xkv_L, params_L, prompt_L = build(
+                kind, ctx, L, tail, rope_mode=args.rope_mode)
+            # HBM-budget batch model (v5e ~13.5 GB usable): weights
+            # ~0.47 GB/layer + 0.26 embed; dense cache 0.268 GB/layer/seq
+            # @64K; int8 factored ~0.021 GB/layer/seq.
+            w_gb = 0.47 * L + 0.26
+            dense_seq = 0.268 * L * ctx / 65536
+            fact_seq = 0.021 * L * ctx / 65536
+            b_d = max(1, int((13.5 - w_gb) / dense_seq))
+            b_f = max(8, min(96, int((13.5 - w_gb) / fact_seq)))
+            e_f = InferenceEngine(
+                params_L, cfg_L, xkv=xkv_L, mode="factored", tail_max=tail,
+                attention_impl=attention_impl, donate_cache=False,
+                factor_dtype=factor_dtype, prefill_logits="last",
+            )
+            t_f = measure_decode(e_f, prompt_L, b_f, steps)
+            del e_f
+            e_d = InferenceEngine(
+                params_L, cfg_L, mode="none", tail_max=tail,
+                attention_impl=attention_impl, donate_cache=False,
+                prefill_logits="last",
+            )
+            t_d = measure_decode(e_d, prompt_L, b_d, steps)
+            del e_d, params_L
+            sweep.append({
+                "layers": L, "batch_fact": b_f, "batch_dense": b_d,
+                "tokens_per_s": round(t_f, 2),
+                "dense_tokens_per_s": round(t_d, 2),
+                "vs_baseline": round(t_f / t_d, 3),
+            })
+        record["depth_sweep"] = sorted(sweep, key=lambda p: p["layers"])
     print(json.dumps(record))
 
 

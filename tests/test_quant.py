@@ -151,12 +151,7 @@ def test_mixed4_v_reconstruction_close():
     assert e4 / n < 0.05  # int4 tail: small extra error on decayed ranks
 
 
-def test_int4_engine_requires_both_merges():
-    """With factor_dtype='int4' and only one of merge_key/merge_value, the
-    mixed dense/factored fallback would drop the packed int4 tail — the
-    engine must refuse the configuration up front."""
-    import pytest
-
+def _one_side_engines(mk, mv, factor_dtype):
     from xkv_tpu.configs import generate_consecutive_xkv_config
     from xkv_tpu.engine import InferenceEngine
     from xkv_tpu.models.config import tiny_llama_config
@@ -164,18 +159,86 @@ def test_int4_engine_requires_both_merges():
 
     cfg = tiny_llama_config()
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1,
+        group_size=2, rank_k=24, rank_v=24,
+        merge_key=mk, merge_value=mv,
+        extra_kwargs={"svd_method": "exact", "rope_mode": "post"},
+    )
+    eng = InferenceEngine(
+        params, cfg, xkv=xkv, mode="factored",
+        factor_dtype=factor_dtype, cache_dtype=jnp.float32,
+        donate_cache=False, tail_max=8,
+    )
+    return cfg, eng
+
+
+def test_int4_one_side_merge_close_to_fp32():
+    """merge-one-side with factor_dtype='int4' (VERDICT r3 #4): the mixed
+    dense/factored fallback carries the packed int4 tail, so one-sided
+    int4 decode logits track the fp32-factor one-sided engine closely
+    (quantization noise only)."""
+    rng = np.random.default_rng(20)
     for mk, mv in ((True, False), (False, True)):
-        xkv = generate_consecutive_xkv_config(
-            num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1,
-            group_size=2, rank_k=24, rank_v=24,
-            merge_key=mk, merge_value=mv,
-            extra_kwargs={"svd_method": "exact", "rope_mode": "post"},
+        cfg, eng4 = _one_side_engines(mk, mv, "int4")
+        _, engf = _one_side_engines(mk, mv, jnp.float32)
+        prompt = rng.integers(0, cfg.vocab_size, size=(1, 32)).astype(
+            np.int32)
+        _, c4 = eng4.prefill(prompt)
+        _, cf = engf.prefill(prompt)
+        tok = jnp.zeros((1, 1), jnp.int32)
+        pos = jnp.asarray(32, jnp.int32)
+        l4, _ = eng4.decode_step(c4, tok, pos)
+        lf, _ = engf.decode_step(cf, tok, pos)
+        l4 = np.asarray(l4[0, -1])
+        lf = np.asarray(lf[0, -1])
+        corr = np.corrcoef(l4, lf)[0, 1]
+        assert corr > 0.995, (mk, mv, corr)
+
+
+def test_int4_one_side_tail_contributes():
+    """Zeroing the packed int4 tail must CHANGE one-sided decode logits —
+    proof the mixed fallback reads the tail (the round-2 bug dropped it
+    silently)."""
+    rng = np.random.default_rng(21)
+    cfg, eng4 = _one_side_engines(True, False, "int4")
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 32)).astype(np.int32)
+    _, cache = eng4.prefill(prompt)
+    assert cache.groups[0].k_us4 is not None  # packed tail exists
+    groups0 = tuple(
+        g.replace(k_us4=jnp.zeros_like(g.k_us4)) for g in cache.groups
+    )
+    cache0 = cache.replace(groups=groups0)
+    tok = jnp.zeros((1, 1), jnp.int32)
+    pos = jnp.asarray(32, jnp.int32)
+    l_full, _ = eng4.decode_step(cache, tok, pos)
+    l_zero, _ = eng4.decode_step(cache0, tok, pos)
+    assert np.abs(np.asarray(l_full) - np.asarray(l_zero)).max() > 1e-4
+
+
+def test_int4_one_side_batched_still_refused():
+    """The batched slot allocator only lays out int4 for fully merged
+    groups; one-sided int4 stays single-stream-engine-only."""
+    import pytest
+
+    from xkv_tpu.configs import generate_consecutive_xkv_config
+    from xkv_tpu.engine.batching import BatchedEngine
+    from xkv_tpu.models.config import tiny_llama_config
+    from xkv_tpu.models.llama import init_params
+
+    cfg = tiny_llama_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1,
+        group_size=2, rank_k=24, rank_v=24, merge_key=True,
+        merge_value=False,
+        extra_kwargs={"svd_method": "exact", "rope_mode": "post"},
+    )
+    with pytest.raises(ValueError, match="merge_key.*merge_value"):
+        BatchedEngine(
+            params, cfg, xkv=xkv, num_slots=2, s_max=32, tail_max=8,
+            factor_dtype="int4", cache_dtype=jnp.float32,
         )
-        with pytest.raises(ValueError, match="merge_key.*merge_value"):
-            InferenceEngine(
-                params, cfg, xkv=xkv, mode="factored",
-                factor_dtype="int4", cache_dtype=jnp.float32,
-            )
 
 
 def test_int4_rank_frac_sub_tile_tail_refused():

@@ -150,6 +150,109 @@ def test_sparse_survives_refactorization(params):
     assert np.isfinite(out).all()
 
 
+# ------------------------------------------------- sparse x sliding window
+def _win_engine(params_w, cfg, xkv, sparse, **kw):
+    skw = dict(sparse_topk=kw.pop("sparse_topk", 4),
+               sparse_block=kw.pop("sparse_block", 8)) if sparse else {}
+    return InferenceEngine(
+        params_w, cfg, xkv=xkv, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+        donate_cache=False, **skw, **kw,
+    )
+
+
+@pytest.mark.parametrize("mode_kw", [{}, {"rope_mode": "post"}])
+def test_sparse_window_full_coverage_matches_windowed(mode_kw):
+    """sparse_topk covering every chunk + sliding window == plain windowed
+    factored decode exactly (VERDICT r3 #4: sparse x window composition —
+    the Quest selection gets a window lower bound and the sparse kernels
+    column-mask below it)."""
+    cfg = tiny_llama_config(model_type="mistral", sliding_window=10)
+    params_w = init_params(cfg, jax.random.PRNGKey(10), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24,
+        extra_kwargs={"svd_method": "exact", **mode_kw},
+    )
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, cfg.vocab_size, size=(2, 32)).astype(np.int32)
+    out_full = np.asarray(
+        _win_engine(params_w, cfg, xkv, False).generate(prompt, 6))
+    out_sparse = np.asarray(
+        _win_engine(params_w, cfg, xkv, True).generate(prompt, 6))
+    np.testing.assert_array_equal(out_sparse, out_full)
+
+
+@pytest.mark.parametrize("mode_kw", [{}, {"rope_mode": "post"}])
+def test_sparse_window_budget_skips_dead_chunks(mode_kw):
+    """With window 10 over a 32-token prompt only the last 1-2 chunks hold
+    live rows; a selection budget of 2 must therefore reproduce windowed
+    decode EXACTLY — dead chunks below the window never spend budget."""
+    cfg = tiny_llama_config(model_type="mistral", sliding_window=10)
+    params_w = init_params(cfg, jax.random.PRNGKey(12), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24,
+        extra_kwargs={"svd_method": "exact", **mode_kw},
+    )
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 32)).astype(np.int32)
+    out_full = np.asarray(
+        _win_engine(params_w, cfg, xkv, False).generate(prompt, 5))
+    out_sparse = np.asarray(
+        _win_engine(params_w, cfg, xkv, True, sparse_topk=2).generate(
+            prompt, 5))
+    np.testing.assert_array_equal(out_sparse, out_full)
+
+
+def test_sparse_window_pallas_interpret_matches_xla():
+    cfg = tiny_llama_config(model_type="mistral", sliding_window=10)
+    params_w = init_params(cfg, jax.random.PRNGKey(14), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(15)
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 32)).astype(np.int32)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        outs[impl] = np.asarray(
+            _win_engine(params_w, cfg, xkv, True,
+                        attention_impl=impl).generate(prompt, 5))
+    np.testing.assert_array_equal(outs["pallas"], outs["xla"])
+
+
+def test_batched_sparse_window_matches_single():
+    """Batched sparse decode applies the per-slot window bound."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    cfg = tiny_llama_config(model_type="mistral", sliding_window=10)
+    params_w = init_params(cfg, jax.random.PRNGKey(16), dtype=jnp.float32)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=cfg.num_layers - 1, group_size=2,
+        rank_k=24, rank_v=24, extra_kwargs={"svd_method": "exact"},
+    )
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)).astype(np.int32)
+               for n in (16, 12)]
+    n_new = 4
+    singles = [
+        np.asarray(
+            _win_engine(params_w, cfg, xkv, True).generate(p[None, :], n_new)
+        )[0].tolist()
+        for p in prompts
+    ]
+    be = BatchedEngine(
+        params_w, cfg, xkv=xkv, num_slots=2, s_max=16, tail_max=8,
+        prefill_buckets=[16], cache_dtype=jnp.float32,
+        factor_dtype=jnp.float32, sparse_topk=4, sparse_block=8,
+    )
+    ids = [be.submit(p, n_new) for p in prompts]
+    results = {r.request_id: r.generated for r in be.run()}
+    for rid, expect in zip(ids, singles):
+        assert results[rid] == expect
+
+
 def test_batched_sparse_full_coverage_matches_dense_selection(params):
     """Batched engine with sparse decode covering all chunks == batched
     engine without sparsity."""

@@ -91,10 +91,15 @@ class BatchedEngine:
                     "(rank-space decode; docs/ROPE_MODES.md)"
                 )
             if not (xkv.merge_key and xkv.merge_value):
+                # The single-stream InferenceEngine carries the packed int4
+                # tail through the mixed dense/factored fallback, but the
+                # batched slot allocator lays out int4 slots for fully
+                # merged groups only (per-slot dense segments for the
+                # unmerged side are not allocated in the packed layout).
                 raise ValueError(
-                    "factor_dtype='int4' requires merge_key=True and "
-                    "merge_value=True (the mixed dense/factored path does "
-                    "not carry the packed int4 tail)"
+                    "BatchedEngine factor_dtype='int4' requires "
+                    "merge_key=True and merge_value=True (one-sided int4 "
+                    "is supported by the single-stream InferenceEngine)"
                 )
             if sparse_topk is not None or speculative_k is not None:
                 raise ValueError(
@@ -161,11 +166,6 @@ class BatchedEngine:
         self._compress_jit: Dict[int, any] = {}
         if sparse_topk is not None and self._mla:
             raise ValueError("sparse_topk is llama-family only")
-        if sparse_topk is not None and cfg.sliding_window is not None:
-            raise ValueError(
-                "sparse_topk does not compose with sliding_window "
-                "(Quest chunk selection has no window lower bound)"
-            )
         self.sparse_topk = sparse_topk
         self.sparse_block = sparse_block
         self._sparse_kw = (
@@ -193,6 +193,13 @@ class BatchedEngine:
                 raise ValueError("speculative_k requires sparse_topk "
                                  "(llama) or draft_rank (MLA) — the draft "
                                  "path")
+            if cfg.sliding_window is not None:
+                # Early guard (ADVICE r3 #3): the multi-token verify pass
+                # has no per-row window bound.
+                raise ValueError(
+                    "speculative_k does not compose with sliding_window "
+                    "(multi-token verify has no per-row window bound)"
+                )
             if speculative_k + 1 > tail_max:
                 raise ValueError(f"speculative_k={speculative_k} needs "
                                  f"tail_max > speculative_k")

@@ -58,11 +58,6 @@ class InferenceEngine:
         if sparse_topk is not None:
             if mode != "factored":
                 raise ValueError("sparse_topk requires mode='factored'")
-            if cfg.sliding_window is not None:
-                raise ValueError(
-                    "sparse_topk does not compose with sliding_window "
-                    "(Quest chunk selection has no window lower bound)"
-                )
             if cfg.model_type == "deepseek_v2":
                 raise ValueError(
                     "sparse_topk is llama-family only (MLA's absorbed decode "
@@ -86,16 +81,9 @@ class InferenceEngine:
                     "factor_dtype='int4' requires rope_mode='post' "
                     "(rank-space decode; docs/ROPE_MODES.md)"
                 )
-            if xkv is not None and mode == "factored" \
-                    and not (xkv.merge_key and xkv.merge_value):
-                # The mixed dense/factored fallback reconstructs from the
-                # int8 head only and would silently drop the packed int4
-                # tail (k_us4/k_vt4) of whichever side IS merged.
-                raise ValueError(
-                    "factor_dtype='int4' requires merge_key=True and "
-                    "merge_value=True (the mixed dense/factored path does "
-                    "not carry the packed int4 tail)"
-                )
+            # merge-one-side int4 runs through the mixed dense/factored
+            # fallback, which carries the packed int4 tail via
+            # dequantize_{k,v}_mixed4 (models/llama.py; VERDICT r3 #4).
         self.sparse_topk = sparse_topk
         self.sparse_block = sparse_block
         self._sparse_kw = (
@@ -482,6 +470,14 @@ class InferenceEngine:
         if self.sparse_topk is None and self.draft_rank is None:
             raise ValueError("generate_speculative requires sparse_topk "
                              "(llama) or draft_rank (MLA) — the draft path")
+        if self.cfg.sliding_window is not None:
+            # Early guard (ADVICE r3 #3): the multi-token verify pass does
+            # not support a sliding window (per-row window bounds), so fail
+            # here instead of with a traced ValueError inside decode_step.
+            raise ValueError(
+                "speculative decoding does not compose with sliding_window "
+                "(the multi-token verify pass has no per-row window bound)"
+            )
         tokens = jnp.asarray(tokens, jnp.int32)
         if tokens.shape[0] != 1:
             raise ValueError("speculative decoding is batch-1 "

@@ -167,7 +167,7 @@ def prefill(
                              "a 'data' axis")
         if s % mesh.shape["data"]:
             raise ValueError(
-                f"seq {s} must divide the data axis {mesh.shape['data']}"
+                f"data axis size {mesh.shape['data']} must divide seq {s}"
             )
         seq_sharded = jax.lax.with_sharding_constraint
         sp_spec = NamedSharding(mesh, P(None, "data", None))
@@ -343,7 +343,6 @@ def _post_rope_factored_part(
         )
 
     if sparse_ok:
-        assert win_lo is None, "sparse top-k does not compose with window"
         nc = gf.k_cmin.shape[1]
         blk = sparse_block
         assert nc == -(-gf.k_us.shape[1] // blk), (
@@ -360,12 +359,13 @@ def _post_rope_factored_part(
                 mesh, q, gf.k_us, vt_k, gf.v_us, vt_v, cmin_sl, cmax_sl,
                 lengths=lengths,
                 k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+                win_lo=win_lo,
                 n_select=n_sel, scale=scale, num_kv_heads=hkv, block=blk,
             )
             return PartialAttention(out=out, lse=lse)
         ids = select_topk_chunks(
             q, cmin_sl, cmax_sl, n_select=n_sel, num_kv_heads=hkv,
-            valid_len=lengths, block=blk,
+            valid_len=lengths, block=blk, win_lo=win_lo,
         )
         if attention_impl == "pallas" and pallas_ok and mesh is None:
             from xkv_tpu.ops.pallas.rankspace_attention import (
@@ -376,6 +376,7 @@ def _post_rope_factored_part(
                 q, gf.k_us, vt_k, gf.v_us, vt_v, ids,
                 lengths=lengths,
                 k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+                win_lo=win_lo,
                 scale=scale, num_kv_heads=hkv, block=blk,
             )
             return PartialAttention(out=out, lse=lse)
@@ -385,7 +386,7 @@ def _post_rope_factored_part(
         return sparse_factored_decode_attention_xla(
             q, gf.k_us, vt_k, gf.v_us, vt_v, cos_d, cos_d, ids, scale, hkv,
             block=blk, k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
-            valid_len=lengths, pre_rotated=True,
+            valid_len=lengths, pre_rotated=True, valid_lo=win_lo,
         )
 
     if attention_impl == "pallas" and pallas_ok and tp_ok:
@@ -546,6 +547,7 @@ def decode_step(
                         mesh, q_pre, q, *kernel_args, cmin_sl, cmax_sl,
                         k_scale_slice=k_scale_slice,
                         v_rank_scale=gf.v_scale,
+                        win_lo=win_lo,
                         n_select=n_sel, scale=scale,
                         num_kv_heads=cfg.num_kv_heads, block=blk,
                     )
@@ -558,11 +560,13 @@ def decode_step(
                     ids = select_topk_chunks(
                         q, cmin_sl, cmax_sl, n_select=n_sel,
                         num_kv_heads=cfg.num_kv_heads, block=blk,
+                        win_lo=win_lo,
                     )
                     out_f, lse_f = sparse_lowrank_decode_attention(
                         q_pre, *kernel_args, ids,
                         k_scale_slice=k_scale_slice,
                         v_rank_scale=gf.v_scale,
+                        win_lo=win_lo,
                         scale=scale, num_kv_heads=cfg.num_kv_heads,
                         block=blk,
                     )
@@ -571,6 +575,7 @@ def decode_step(
                     ids = select_topk_chunks(
                         q, cmin_sl, cmax_sl, n_select=n_sel,
                         num_kv_heads=cfg.num_kv_heads, block=blk,
+                        win_lo=win_lo,
                     )
                     parts.append(
                         sparse_factored_decode_attention_xla(
@@ -578,6 +583,7 @@ def decode_step(
                             block=blk,
                             k_scale_slice=k_scale_slice,
                             v_rank_scale=gf.v_scale,
+                            valid_lo=win_lo,
                         )
                     )
             elif attention_impl == "pallas" and pallas_ok and tp_ok:
@@ -631,12 +637,38 @@ def decode_step(
                         gf.k_scale, gpos, cfg.num_kv_heads, cfg.head_dim
                     )
                 )
-                k_rec = reconstruct_group_heads(
-                    gf.k_us,
-                    vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
-                    cfg.num_kv_heads,
-                    out_scale=k_scale_slice,
-                )
+                if gf.k_us4 is not None:
+                    # Mixed int8 + packed-int4 factors: include the int4
+                    # tail ranks (merge-one-side int4, VERDICT r3 #4).
+                    from xkv_tpu.compress.quant import (
+                        QuantizedKFactorsMixed4,
+                        dequantize_k_mixed4,
+                    )
+
+                    mat = dequantize_k_mixed4(QuantizedKFactorsMixed4(
+                        us8=gf.k_us, us4p=gf.k_us4,
+                        vt8=vt_layer_slice(
+                            gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                        vt4=vt_layer_slice(
+                            gf.k_vt4, gpos, cfg.num_kv_heads, cfg.head_dim),
+                        out_scale=k_scale_slice,
+                        scale4=vt_layer_slice(
+                            gf.k_scale4, gpos, cfg.num_kv_heads,
+                            cfg.head_dim),
+                    ))
+                    bsz, s_p_ = mat.shape[:2]
+                    k_rec = jnp.transpose(
+                        mat.reshape(bsz, s_p_, cfg.num_kv_heads,
+                                    cfg.head_dim),
+                        (0, 2, 1, 3),
+                    )
+                else:
+                    k_rec = reconstruct_group_heads(
+                        gf.k_us,
+                        vt_layer_slice(gf.k_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                        cfg.num_kv_heads,
+                        out_scale=k_scale_slice,
+                    )
                 if not rope_post:  # post-RoPE factors are already rotated
                     k_rec = apply_rope(k_rec, cos_p[None], sin_p[None])
                 k_prefill = k_rec.astype(q.dtype)
@@ -649,12 +681,30 @@ def decode_step(
             if use_factored_v:
                 from xkv_tpu.ops.attention import reconstruct_group_heads
 
-                v_prefill = reconstruct_group_heads(
-                    gf.v_us,
-                    vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
-                    cfg.num_kv_heads,
-                    rank_scale=gf.v_scale,
-                ).astype(q.dtype)
+                if gf.v_us4 is not None:
+                    from xkv_tpu.compress.quant import (
+                        QuantizedVFactorsMixed4,
+                        dequantize_v_mixed4,
+                    )
+
+                    mat = dequantize_v_mixed4(QuantizedVFactorsMixed4(
+                        us8=gf.v_us, us4p=gf.v_us4, rank_scale=gf.v_scale,
+                        vt=vt_layer_slice(
+                            gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                    ))
+                    bsz, s_p_ = mat.shape[:2]
+                    v_prefill = jnp.transpose(
+                        mat.reshape(bsz, s_p_, cfg.num_kv_heads,
+                                    cfg.head_dim),
+                        (0, 2, 1, 3),
+                    ).astype(q.dtype)
+                else:
+                    v_prefill = reconstruct_group_heads(
+                        gf.v_us,
+                        vt_layer_slice(gf.v_vt, gpos, cfg.num_kv_heads, cfg.head_dim),
+                        cfg.num_kv_heads,
+                        rank_scale=gf.v_scale,
+                    ).astype(q.dtype)
             elif grp_info is not None and gf.slerp_v is not None:
                 from xkv_tpu.compress.slerp import compact_reconstruct
 
@@ -822,6 +872,7 @@ def decode_step_batched(
                         lengths=prefill_len,
                         k_scale_slice=k_scale_slice,
                         v_rank_scale=gf.v_scale,
+                        win_lo=win_lo,
                         n_select=n_sel, scale=scale,
                         num_kv_heads=cfg.num_kv_heads, block=blk,
                     )
@@ -833,6 +884,7 @@ def decode_step_batched(
                         num_kv_heads=cfg.num_kv_heads,
                         valid_len=prefill_len,
                         block=blk,
+                        win_lo=win_lo,
                     )
                     if (
                         attention_impl == "pallas" and pallas_ok_b
@@ -848,6 +900,7 @@ def decode_step_batched(
                             lengths=prefill_len,
                             k_scale_slice=k_scale_slice,
                             v_rank_scale=gf.v_scale,
+                            win_lo=win_lo,
                             scale=scale, num_kv_heads=cfg.num_kv_heads,
                             block=blk,
                         )
@@ -862,6 +915,7 @@ def decode_step_batched(
                                 k_scale_slice=k_scale_slice,
                                 v_rank_scale=gf.v_scale,
                                 valid_len=prefill_len,
+                                valid_lo=win_lo,
                             )
                         )
             elif attention_impl == "pallas" and pallas_ok_b and tp_ok_b:

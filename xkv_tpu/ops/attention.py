@@ -332,6 +332,7 @@ def select_topk_chunks(
     num_kv_heads: int,
     valid_len: Optional[jax.Array] = None,  # (b,)
     block: int = 512,
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
 ) -> jax.Array:
     """Quest-style upper-bound chunk selection for sparse factored decode
     (selection criterion from Quest, arXiv:2406.10774, applied to the
@@ -342,8 +343,12 @@ def select_topk_chunks(
         U_c = qpos . kmax + qneg . kmin  >=  max_{p in c} q . k_p
     so the chunk holding the best-matching key is never underrated (the
     previous chunk-mean landmark washed single keys out and lost 36% recall
-    on the induction retrieval gate). The sink chunk (0) and the last valid
-    chunk (recency) are force-included. Returns ids (b, n_select) int32.
+    on the induction retrieval gate). The oldest live chunk (the attention
+    sink — or, under a sliding window, the chunk containing ``win_lo``)
+    and the last valid chunk (recency) are force-included. With ``win_lo``
+    set, chunks wholly below the window never spend selection budget (the
+    kernels additionally column-mask partial chunks).
+    Returns ids (b, n_select) int32.
     """
     b, hq, ql, hd = q.shape
     nc = k_cmin.shape[1]
@@ -368,8 +373,13 @@ def select_topk_chunks(
         last_valid = jnp.maximum(n_valid - 1, 0)
     else:
         last_valid = jnp.full((b, 1), nc - 1)
+    if win_lo is not None:
+        first_live = win_lo[:, None] // block  # oldest chunk with live rows
+        sc = jnp.where(cidx < first_live, -jnp.inf, sc)
+    else:
+        first_live = jnp.zeros((b, 1), jnp.int32)
     big = jnp.float32(3e38)
-    sc = jnp.where(cidx == 0, big, sc)  # attention sink
+    sc = jnp.where(cidx == first_live, big, sc)  # sink / window start
     sc = jnp.where(cidx == last_valid, big, sc)  # recency boundary
     _, ids = jax.lax.top_k(sc, n_select)
     return ids.astype(jnp.int32)
@@ -442,7 +452,10 @@ def sparse_factored_decode_attention_xla(
         v_us_g, v_vt_slice, num_kv_heads, rank_scale=v_rank_scale
     )
     vlen = valid_len[:, None] if valid_len is not None else s_p
-    mask = (pos < vlen)[:, None, None, :]  # (b, 1, 1, n_sel*block)
+    live = pos < vlen
+    if valid_lo is not None:  # sliding-window lower bound (ADVICE r3 #1)
+        live &= pos >= valid_lo[:, None]
+    mask = live[:, None, None, :]  # (b, 1, 1, n_sel*block)
     return attention_partial(q, k.astype(q.dtype), v.astype(q.dtype), scale, mask)
 
 

@@ -488,6 +488,7 @@ def sparse_lowrank_decode_attention(
     lengths: Optional[jax.Array] = None,
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
     *,
     scale: float,
     num_kv_heads: int,
@@ -541,10 +542,12 @@ def sparse_lowrank_decode_attention(
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
     lengths = jnp.stack(
         [lengths.reshape(b).astype(jnp.int32),
-         jnp.zeros((b,), jnp.int32)], axis=1
-    )  # (b, 2): [valid_len, window_lo=0] (sparse never composes w/ window)
+         win_lo.reshape(b).astype(jnp.int32)], axis=1
+    )  # (b, 2): [valid_len, window_lo]
 
     kernel = functools.partial(
         _lowrank_sparse_kernel,
@@ -728,6 +731,7 @@ def sparse_lowrank_decode_attention_tp(
     lengths: Optional[jax.Array] = None,
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
     *,
     n_select: int,
     scale: float,
@@ -764,18 +768,22 @@ def sparse_lowrank_decode_attention_tp(
         rv = v_us.shape[2]
         k_scale_slice = jnp.ones((b, 1, k_vt_slice.shape[2]), jnp.float32)
         v_rank_scale = jnp.ones((b, 1, rv), jnp.float32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
 
     def local(qp_l, qr_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint,
-              cmin_l, cmax_l, lens, ks_l, vs_l):
+              cmin_l, cmax_l, lens, ks_l, vs_l, lo_l):
         ids = select_topk_chunks(
             qr_l, cmin_l, cmax_l, n_select=n_select,
             num_kv_heads=hkv_local, valid_len=lens, block=block,
+            win_lo=lo_l,
         )
         return sparse_lowrank_decode_attention(
             qp_l, kus, kvt_l, vus, vvt_l, cosp, sinp, cost, sint, ids,
             lengths=lens,
             k_scale_slice=ks_l if quantized else None,
             v_rank_scale=vs_l if quantized else None,
+            win_lo=lo_l,
             scale=scale, num_kv_heads=hkv_local, block=block,
             interpret=interpret,
         )
@@ -796,10 +804,10 @@ def sparse_lowrank_decode_attention_tp(
         local,
         mesh=mesh,
         in_specs=(hs, hs, us, cols, us, cols, rep, rep, tb_c, tb_s,
-                  cols, cols, P(ba), cols, us),
+                  cols, cols, P(ba), cols, us, P(ba)),
         out_specs=(hs, P(ba, model_axis, None)),
         check_vma=False,
     )(q_pre, q_rot, k_us, k_vt_slice, v_us, v_vt_slice, cos_p, sin_p,
       cos_t, sin_t, k_cmin_slice, k_cmax_slice, lengths, k_scale_slice,
-      v_rank_scale)
+      v_rank_scale, win_lo)
     return out, lse

@@ -430,6 +430,7 @@ def sparse_rankspace_decode_attention(
     lengths: Optional[jax.Array] = None,
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
     *,
     scale: float,
     num_kv_heads: int,
@@ -463,10 +464,12 @@ def sparse_rankspace_decode_attention(
 
     if lengths is None:
         lengths = jnp.full((b,), s_p, jnp.int32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
     lengths = jnp.stack(
         [lengths.reshape(b).astype(jnp.int32),
-         jnp.zeros((b,), jnp.int32)], axis=1
-    )  # (b, 2): [valid_len, window_lo=0] (sparse never composes w/ window)
+         win_lo.reshape(b).astype(jnp.int32)], axis=1
+    )  # (b, 2): [valid_len, window_lo]
 
     kernel = functools.partial(_rankspace_sparse_kernel, block_s=block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -769,6 +772,7 @@ def sparse_rankspace_decode_attention_tp(
     lengths: Optional[jax.Array] = None,
     k_scale_slice: Optional[jax.Array] = None,
     v_rank_scale: Optional[jax.Array] = None,
+    win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
     *,
     n_select: int,
     scale: float,
@@ -798,16 +802,21 @@ def sparse_rankspace_decode_attention_tp(
     if not quantized:
         k_scale_slice = jnp.ones((b, 1, k_vt_slice.shape[2]), jnp.float32)
         v_rank_scale = jnp.ones((b, 1, v_us.shape[2]), jnp.float32)
+    if win_lo is None:
+        win_lo = jnp.zeros((b,), jnp.int32)
 
-    def local(q_l, kus, kvt_l, vus, vvt_l, cmin_l, cmax_l, lens, ks_l, vs_l):
+    def local(q_l, kus, kvt_l, vus, vvt_l, cmin_l, cmax_l, lens, ks_l, vs_l,
+              lo_l):
         ids = select_topk_chunks(
             q_l, cmin_l, cmax_l, n_select=n_select,
             num_kv_heads=hkv_local, valid_len=lens, block=block,
+            win_lo=lo_l,
         )
         return sparse_rankspace_decode_attention(
             q_l, kus, kvt_l, vus, vvt_l, ids, lengths=lens,
             k_scale_slice=ks_l if quantized else None,
             v_rank_scale=vs_l if quantized else None,
+            win_lo=lo_l,
             scale=scale, num_kv_heads=hkv_local, block=block,
             interpret=interpret,
         )
@@ -821,9 +830,10 @@ def sparse_rankspace_decode_attention_tp(
     out, lse = shard_map(
         local,
         mesh=mesh,
-        in_specs=(hs, us, cols, us, cols, cols, cols, P(ba), cols, us),
+        in_specs=(hs, us, cols, us, cols, cols, cols, P(ba), cols, us,
+                  P(ba)),
         out_specs=(hs, P(ba, model_axis, None)),
         check_vma=False,
     )(q, k_us, k_vt_slice, v_us, v_vt_slice, k_cmin_slice, k_cmax_slice,
-      lengths, k_scale_slice, v_rank_scale)
+      lengths, k_scale_slice, v_rank_scale, win_lo)
     return out, lse
