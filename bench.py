@@ -671,28 +671,36 @@ def main():
                 continue
             cfg_L, xkv_L, params_L, prompt_L = build(
                 kind, ctx, L, tail, rope_mode=args.rope_mode)
-            # HBM-budget batch model (v5e ~13.5 GB usable): weights
-            # ~0.47 GB/layer + 0.26 embed; dense cache 0.268 GB/layer/seq
-            # @64K; int8 factored ~0.021 GB/layer/seq.
+            # HBM-budget batch model (v5e, ~12 GB with headroom for
+            # activations/tail/logits): weights ~0.47 GB/layer + 0.26
+            # embed; dense cache 0.268 GB/layer/seq @64K; int8 factored
+            # ~0.021 GB/layer/seq.
             w_gb = 0.47 * L + 0.26
             dense_seq = 0.268 * L * ctx / 65536
             fact_seq = 0.021 * L * ctx / 65536
-            b_d = max(1, int((13.5 - w_gb) / dense_seq))
-            b_f = max(8, min(96, int((13.5 - w_gb) / fact_seq)))
-            e_f = InferenceEngine(
-                params_L, cfg_L, xkv=xkv_L, mode="factored", tail_max=tail,
-                attention_impl=attention_impl, donate_cache=False,
-                factor_dtype=factor_dtype, prefill_logits="last",
-            )
-            t_f = measure_decode(e_f, prompt_L, b_f, steps)
-            del e_f
-            e_d = InferenceEngine(
-                params_L, cfg_L, mode="none", tail_max=tail,
-                attention_impl=attention_impl, donate_cache=False,
-                prefill_logits="last",
-            )
-            t_d = measure_decode(e_d, prompt_L, b_d, steps)
-            del e_d, params_L
+            b_d = max(1, int((12.0 - w_gb) / dense_seq))
+            b_f = max(8, min(96, int((12.0 - w_gb) / fact_seq)))
+            try:
+                e_f = InferenceEngine(
+                    params_L, cfg_L, xkv=xkv_L, mode="factored",
+                    tail_max=tail,
+                    attention_impl=attention_impl, donate_cache=False,
+                    factor_dtype=factor_dtype, prefill_logits="last",
+                )
+                t_f = measure_decode(e_f, prompt_L, b_f, steps)
+                del e_f
+                e_d = InferenceEngine(
+                    params_L, cfg_L, mode="none", tail_max=tail,
+                    attention_impl=attention_impl, donate_cache=False,
+                    prefill_logits="last",
+                )
+                t_d = measure_decode(e_d, prompt_L, b_d, steps)
+                del e_d, params_L
+            except Exception as e:  # OOM at a sweep point: record, move on
+                sweep.append({"layers": L, "batch_fact": b_f,
+                              "batch_dense": b_d,
+                              "error": type(e).__name__})
+                continue
             sweep.append({
                 "layers": L, "batch_fact": b_f, "batch_dense": b_d,
                 "tokens_per_s": round(t_f, 2),

@@ -25,6 +25,9 @@ from xkv_tpu.models.config import tiny_llama_config
 from xkv_tpu.models.llama import init_params
 from xkv_tpu.train.lm import train_lm
 
+# In-suite model training / long end-to-end generations (fast tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 M = 24  # repeated-segment length
 CFG = tiny_llama_config(
     vocab_size=64,

@@ -12,6 +12,9 @@ from xkv_tpu.engine import InferenceEngine
 from xkv_tpu.models import deepseek
 from xkv_tpu.models.config import ModelConfig
 
+# In-suite model training / long end-to-end generations (fast tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     vocab_size=128,
     hidden_size=64,

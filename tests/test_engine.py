@@ -55,6 +55,7 @@ def xkv_cfg(group_size=2, rank_k=24, rank_v=24, **kw):
     )
 
 
+@pytest.mark.slow
 def test_uncompressed_decode_matches_full_forward_oracle(params, prompt):
     """Greedy decode with the dense cache must match re-running the full
     prompt+generated prefix through the stateless forward."""
@@ -167,6 +168,7 @@ def test_compression_ratio_accounting(params, prompt):
     assert abs(cache.compression_ratio(CFG) - dense / expected_elems) < 1e-6
 
 
+@pytest.mark.slow
 def test_slerp_gamma_one_equals_uncompressed(params, prompt):
     """gamma=1.0 -> no rows divergent -> merge is identity -> decode equals
     the uncompressed baseline."""
@@ -219,6 +221,7 @@ def test_score_teacher_forcing_matches_oracle(params, prompt):
     )
 
 
+@pytest.mark.slow
 def test_pallas_attention_impl_matches_xla(params, prompt):
     """Full engine with attention_impl='pallas' (interpret mode on CPU) must
     match the XLA path: prefill flash kernel + fused low-rank decode kernel."""
@@ -269,6 +272,7 @@ def test_int8_factors_close_to_fp32(params, prompt):
     assert err < 0.1 * ref + 0.3, f"int8 drift too large: {err} vs {ref}"
 
 
+@pytest.mark.slow
 def test_int8_pallas_matches_int8_xla(params, prompt):
     cfg = xkv_cfg(group_size=2, rank_k=16, rank_v=16)
     eng_x = make_engine(params, "factored", cfg, factor_dtype="int8")
@@ -284,6 +288,7 @@ def test_int8_pallas_matches_int8_xla(params, prompt):
     np.testing.assert_allclose(np.asarray(op), np.asarray(ox), rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_refactorize_extends_generation(params, prompt):
     """A tiny tail (4) with refactorization generates 10 tokens; with a
     full-rank (lossless) factorization the output must match the
@@ -315,6 +320,7 @@ def test_refactorize_grows_prefill_len(params, prompt):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_refactorize_int8_roundtrip(params, prompt):
     """Refactorization dequantizes, re-SVDs, and requantizes int8 factors."""
     cfg = xkv_cfg(group_size=2, rank_k=24, rank_v=24)
@@ -387,6 +393,7 @@ def test_prefill_last_logits_matches_full(params, prompt):
                                np.asarray(ca.groups[0].k_us), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sliding_window_perplexity_matches_manual(params):
     """score_text_sliding_window == token-weighted aggregate of per-window
     score_text_tokens (reference eval_perplexity_rnn.py:138-181 semantics),

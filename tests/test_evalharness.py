@@ -229,6 +229,7 @@ def test_calib_data_synthetic(tmp_path):
     np.testing.assert_array_equal(chunks, again)
 
 
+@pytest.mark.slow
 def test_enhanced_compressor_shape():
     import jax
     import jax.numpy as jnp
@@ -385,3 +386,56 @@ def test_essay_json_hook(tmp_path, monkeypatch):
     words = wordlists.essay_words(__import__("random").Random(0),
                                   approx_words=5)
     assert words[:4] == ["The", "quick", "brown", "fox"]
+
+
+# ---------------------------------------------------------------- longbench
+def test_longbench_local_fixtures_end_to_end():
+    """Offline LongBench (VERDICT r3 #10): the hub-free route loads the
+    reference-format fixtures, wraps the reference templates, routes
+    gen_len/metric (incl. classification all_classes, zh, count, code),
+    and a full Evaluator pass scores a perfect oracle at 1.0."""
+    from xkv_tpu.evalharness import Dataset, Evaluator
+    from xkv_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    tasks = ["narrativeqa", "trec", "lcc", "passage_count", "gov_report",
+             "passage_retrieval_en", "multifieldqa_zh", "repobench-p"]
+    for task in tasks:
+        ds = Dataset(f"long_bench_local/{task}", tok, datalen=8192)
+        assert len(ds) >= 1
+        assert ds.gen_len > 0
+        prompt, gt = ds[0]
+        assert prompt.shape[1] > 0 and len(gt) >= 1
+        if task == "trec":
+            assert ds.classes is not None and ds.classes[0]
+
+        answers = {i: ds.gt[i][0] for i in range(len(ds))}
+
+        def gen_fn(prompt_ids, gen_len, _a=answers, _t=tok, _d=ds):
+            # oracle: emit the gold answer bytes for the current index
+            idx = [i for i in range(len(_d))
+                   if _d[i][0].shape == prompt_ids.shape
+                   and (_d[i][0] == prompt_ids).all()][0]
+            return _t.encode(_a[idx])
+
+        ev = Evaluator(gen_fn, tok.decode)
+        summary = ev.test(ds, verbose=False)
+        assert summary["score"] >= 0.99, (task, summary)
+
+
+def test_longbench_local_metric_discriminates():
+    """The routed metrics actually penalize wrong predictions (not
+    constant-1): a garbage prediction scores < the oracle."""
+    from xkv_tpu.evalharness import Dataset, Evaluator
+    from xkv_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    for task in ("narrativeqa", "trec", "passage_count"):
+        ds = Dataset(f"long_bench_local/{task}", tok, datalen=8192)
+
+        def bad_fn(prompt_ids, gen_len):
+            return tok.encode("zzz unrelated 777")
+
+        ev = Evaluator(bad_fn, tok.decode)
+        summary = ev.test(ds, verbose=False)
+        assert summary["score"] <= 0.5, (task, summary)

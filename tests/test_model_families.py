@@ -87,6 +87,7 @@ def test_safetensors_loader_roundtrip(tmp_path):
 
 
 @pytest.mark.parametrize("variant", ["dense", "moe_qlora"])
+@pytest.mark.slow
 def test_deepseek_loader_roundtrip(tmp_path, variant):
     """Fabricate a local HF DeepSeek-V2 checkpoint (dense, and MoE + shared
     experts + q-LoRA), load it back through the routed entry point, assert
@@ -132,6 +133,7 @@ def _window_oracle_generate(params, cfg, prompt, n_new):
     {},                                           # pre-RoPE factored
     {"rope_mode": "post"},                        # rank-space decode
 ])
+@pytest.mark.slow
 def test_mistral_window_decode_matches_oracle(mode_kw):
     """Sliding-window DECODE (VERDICT r2 #6): the factored cache masks keys
     below pos-window in every decode path; full-rank factorization must
@@ -159,6 +161,7 @@ def test_mistral_window_decode_matches_oracle(mode_kw):
         np.testing.assert_array_equal(out, expected, err_msg=f"mode={mode}")
 
 
+@pytest.mark.slow
 def test_mistral_window_decode_pallas_interpret_matches_xla():
     """The Pallas kernels' window lower bound (interpret mode on CPU)
     agrees with the XLA oracle path."""
@@ -181,6 +184,7 @@ def test_mistral_window_decode_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(outs["pallas"], outs["xla"])
 
 
+@pytest.mark.slow
 def test_mistral_window_batched_matches_single():
     """Batched decode applies the per-slot window bound."""
     from xkv_tpu.engine.batching import BatchedEngine

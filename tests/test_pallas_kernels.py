@@ -73,6 +73,7 @@ def test_flash_mha_q_per_kv_1():
 
 
 @pytest.mark.parametrize("s_p,block_s", [(128, 64), (100, 64)])
+@pytest.mark.slow
 def test_lowrank_decode_matches_xla_reference(s_p, block_s):
     b, hq, hkv, hd = 2, 4, 2, 32
     rk, rv = 24, 28
@@ -108,6 +109,7 @@ def test_lowrank_decode_matches_xla_reference(s_p, block_s):
     )
 
 
+@pytest.mark.slow
 def test_lowrank_plus_tail_merge_matches_full_attention():
     """Factored segment (kernel) + dense tail (XLA) merged == attention over
     the concatenated keys. Uses full-rank factors so reconstruction is exact."""
@@ -158,6 +160,7 @@ def test_lowrank_plus_tail_merge_matches_full_attention():
 
 
 @pytest.mark.parametrize("n_sel,lengths", [(3, None), (4, None), (2, (40, 64))])
+@pytest.mark.slow
 def test_sparse_lowrank_matches_sparse_xla(n_sel, lengths):
     """The scalar-prefetch sparse kernel == the gather-based XLA sparse
     reference on the same selected chunk ids (incl. per-sequence valid
@@ -202,6 +205,7 @@ def test_sparse_lowrank_matches_sparse_xla(n_sel, lengths):
     )
 
 
+@pytest.mark.slow
 def test_lowrank_multiquery_matches_xla_reference():
     """ql > 1 (the speculative verify pass): every (position, head) row of
     the kernel must equal the XLA oracle run per position."""

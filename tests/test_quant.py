@@ -173,6 +173,7 @@ def _one_side_engines(mk, mv, factor_dtype):
     return cfg, eng
 
 
+@pytest.mark.slow
 def test_int4_one_side_merge_close_to_fp32():
     """merge-one-side with factor_dtype='int4' (VERDICT r3 #4): the mixed
     dense/factored fallback carries the packed int4 tail, so one-sided
@@ -241,6 +242,7 @@ def test_int4_one_side_batched_still_refused():
         )
 
 
+@pytest.mark.slow
 def test_int4_rank_frac_sub_tile_tail_refused():
     """An int4 tail below the 256-rank lane tile at rank>=512 cannot be
     realized under lane alignment; build_cache must refuse rather than

@@ -32,6 +32,7 @@ def make_inputs(seed=0, ql=1, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("ql", [1, 4])
+@pytest.mark.slow
 def test_kernel_matches_xla_oracle(ql):
     q, k_us, k_vt, v_us, v_vt = make_inputs(ql=ql)
     lengths = jnp.asarray([S, S - 13], jnp.int32)

@@ -3,6 +3,7 @@
 import numpy as np
 import torch
 
+import pytest
 import jax.numpy as jnp
 
 from xkv_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -31,6 +32,7 @@ def hf_rope(q: np.ndarray, positions: np.ndarray, theta: float):
     return out.numpy()
 
 
+@pytest.mark.slow
 def test_rope_matches_hf():
     rng = np.random.default_rng(0)
     b, nh, s, hd = 2, 3, 17, 32
@@ -43,6 +45,7 @@ def test_rope_matches_hf():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rope_arbitrary_positions():
     """Decode-time RoPE uses non-contiguous positions."""
     rng = np.random.default_rng(1)

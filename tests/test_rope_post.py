@@ -29,6 +29,9 @@ from xkv_tpu.engine import InferenceEngine
 from xkv_tpu.models.config import tiny_llama_config
 from xkv_tpu.models.llama import init_params
 
+# In-suite model training / long end-to-end generations (fast tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = tiny_llama_config()  # 4 layers, 4 q heads, 2 kv heads, hd 16
 FULL_RANK_K = 2 * CFG.num_kv_heads * CFG.head_dim  # group of 2, lossless
 

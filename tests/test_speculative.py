@@ -16,6 +16,9 @@ from xkv_tpu.engine import InferenceEngine
 from xkv_tpu.models.config import tiny_llama_config
 from xkv_tpu.models.llama import init_params
 
+# In-suite model training / long end-to-end generations (fast tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = tiny_llama_config()
 
 

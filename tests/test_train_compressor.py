@@ -16,6 +16,9 @@ from xkv_tpu.train import CompressorTrainer, TrainConfig, make_compressor
 from xkv_tpu.train.collector import collect_kv
 from xkv_tpu.train.compressors import kl_divergence
 
+# In-suite model training / long end-to-end generations (fast tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = tiny_llama_config()
 
 

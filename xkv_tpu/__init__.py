@@ -20,6 +20,19 @@ Layout:
   cli/           — command-line entry points mirroring the reference flags
 """
 
+import os as _os
+
+if _os.environ.get("XKV_FORCE_CPU"):
+    # The axon TPU shim force-sets jax_platforms at interpreter start, so
+    # JAX_PLATFORMS=cpu alone cannot keep CPU-side tooling (data prep,
+    # corpus generation, smokes) off the tunneled chip while it is busy
+    # benchmarking/training. Explicit opt-out, applied before any backend
+    # initializes (tests/conftest.py uses the same workaround).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+
 __version__ = "0.1.0"
 
 from xkv_tpu.configs import (  # noqa: F401

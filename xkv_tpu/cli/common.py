@@ -139,6 +139,21 @@ def load_model_and_tokenizer(args, dtype=jnp.bfloat16):
         params = init_params(cfg, jax.random.PRNGKey(args.seed), dtype=dtype)
         return params, cfg, ByteTokenizer()
 
+    if args.model.startswith("ckpt:"):
+        # locally-trained native checkpoint (models/ckpt.py), e.g. the
+        # production-geometry study model for the offline RULER suite
+        # (scripts/train_production_model.py). Byte-tokenized: its vocab
+        # covers ByteTokenizer ids (0..258).
+        from xkv_tpu.models.ckpt import load_checkpoint
+        from xkv_tpu.utils.tokenizer import ByteTokenizer
+
+        # fp32: these models are tiny and trained in fp32; keeping eval in
+        # the training dtype isolates compression deltas from weight
+        # rounding (the study protocol, scripts/rope_mode_study_production).
+        params, cfg = load_checkpoint(args.model[len("ckpt:"):],
+                                      dtype=jnp.float32)
+        return params, cfg, ByteTokenizer()
+
     from xkv_tpu.models.loader import load_params
     from xkv_tpu.utils.tokenizer import load_tokenizer
 

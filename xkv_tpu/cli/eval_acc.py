@@ -43,6 +43,11 @@ def main(argv=None):
     parser.add_argument("--rank", type=int, default=0)
     parser.add_argument("--world_size", type=int, default=1)
     parser.add_argument("--gen_len", type=int, default=None)
+    parser.add_argument("--pad_to", type=int, default=None,
+                        help="left-pad prompts with RULER noise sentences "
+                        "to the next multiple of N tokens (+BOS). Every "
+                        "distinct prompt length is a fresh XLA compile; "
+                        "bucketing amortizes compilation across samples")
     args = parser.parse_args(argv)
     if args.dataset_name:
         args.datasets = (args.datasets or []) + args.dataset_name.split(",")
@@ -79,7 +84,33 @@ def main(argv=None):
         raise SystemExit("--speculative_k needs --sparse_topk (llama) or "
                          "--draft_rank (MLA) — the draft path")
 
+    pad_filler = None
+    if args.pad_to:
+        from xkv_tpu.evalharness.ruler.generators import NOISE_SENTENCE
+
+        pad_filler = np.asarray(
+            tokenizer.encode(NOISE_SENTENCE + "\n"), np.int32
+        )
+
+    def bucket_pad(prompt_ids):
+        """[BOS, filler..., prompt] padded to a multiple of --pad_to.
+        Left-padding with haystack noise is semantically inert for RULER
+        (it IS the haystack sentence) and keeps compiled prefill shapes
+        shared across samples."""
+        n = int(prompt_ids.shape[1])
+        tgt = -(-(n + 1) // args.pad_to) * args.pad_to
+        need = tgt - n - 1
+        reps = np.tile(pad_filler, need // len(pad_filler) + 1)[:need]
+        bos = getattr(tokenizer, "bos_token_id", None) or 1
+        row = np.concatenate(
+            [np.asarray([bos], np.int32), reps,
+             np.asarray(prompt_ids).reshape(-1)]
+        )
+        return row[None, :]
+
     def generate_fn(prompt_ids, gen_len):
+        if pad_filler is not None:
+            prompt_ids = bucket_pad(prompt_ids)
         if spec_k is not None:
             # Sparse-draft / exact-verify: same tokens as engine.generate,
             # ~(k+1)x fewer exact-attention rounds when drafts agree.

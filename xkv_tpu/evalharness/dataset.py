@@ -119,6 +119,11 @@ class Dataset:
     dataset_name:
       ``ruler/<task>``        local jsonl at {data_dir}/{family}/{datalen}/{task}/validation.jsonl
       ``long_bench/<task>``   HF hub THUDM/LongBench (requires network)
+      ``long_bench_local/<task>`` reference-format local jsonl at
+                              {data_dir}/long_bench/{task}.jsonl (offline;
+                              same templates / gen_len / metric routing as
+                              the hub route — fixtures under
+                              evalharness/long_bench_fixtures/)
       ``jsonl:<path>``        any local jsonl with input/outputs fields
     """
 
@@ -176,7 +181,7 @@ class Dataset:
 
     # ------------------------------------------------------------------ tables
     def _get_gen_len(self) -> int:
-        name = self.dataset_name
+        name = self.dataset_name.replace("long_bench_local/", "long_bench/")
         if name == "niah":
             return 10
         for key in ("niah", "vt", "cwe", "fwe", "qa"):
@@ -187,7 +192,7 @@ class Dataset:
         raise ValueError(f"Gen len not found for {name}")
 
     def _get_metric(self) -> Callable:
-        name = self.dataset_name
+        name = self.dataset_name.replace("long_bench_local/", "long_bench/")
         if "long_bench" in name and name in METRICS_FN:
             return METRICS_FN[name]
         if "multiquery" in name or "multivalue" in name:
@@ -222,6 +227,8 @@ class Dataset:
                 self.data_dir, family, str(self.datalen), task, "validation.jsonl"
             )
             self._load_jsonl(path)
+        elif "long_bench_local" in name:
+            self._load_longbench_local(name.split("/")[-1])
         elif "long_bench" in name:
             self._load_longbench(name.split("/")[-1])
         else:
@@ -239,6 +246,45 @@ class Dataset:
         n = self._take(len(rows))
         self.tokenized_prompts = [self._encode(r["input"]) for r in rows[:n]]
         self.gt = [r["outputs"] for r in rows[:n]]
+
+    def _load_longbench_local(self, task: str):
+        """Offline LongBench: reference-format rows (context/input/answers/
+        all_classes — the fields `dataset.py:254-291` reads from the hub)
+        from a local jsonl. Falls back to the in-repo one-sample-per-family
+        fixtures when {data_dir}/long_bench/ has no file for the task."""
+        from xkv_tpu.evalharness.longbench_templates import LONG_BENCH_TEMPLATE
+
+        path = os.path.join(self.data_dir, "long_bench", f"{task}.jsonl")
+        if not os.path.exists(path):
+            fixture = os.path.join(
+                os.path.dirname(__file__), "long_bench_fixtures",
+                f"{task}.jsonl",
+            )
+            if not os.path.exists(fixture):
+                raise FileNotFoundError(
+                    f"no local LongBench data for {task}: neither {path} "
+                    f"nor the in-repo fixture exists"
+                )
+            path = fixture
+        rows = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    rows.append(json.loads(line))
+        n = self._take(len(rows))
+        template = LONG_BENCH_TEMPLATE[task]
+        self.tokenized_prompts, self.gt = [], []
+        classes = []
+        for r in rows[:n]:
+            text = template.format(**{k: v for k, v in r.items()
+                                      if k not in ("answers", "all_classes")})
+            self.tokenized_prompts.append(
+                self._encode(text, add_special_tokens=True)
+            )
+            self.gt.append(r["answers"])
+            classes.append(r.get("all_classes"))
+        if any(c is not None for c in classes):
+            self.classes = classes
 
     def _load_longbench(self, task: str):
         from datasets import load_dataset as hf_load_dataset

@@ -105,10 +105,13 @@ class Evaluator:
 
         if metric in (M.multi_number, M.multi_words):
             return metric(pred, gt)
-        if metric is M.needle_score:
-            gts = gt if isinstance(gt, list) else [gt]
-            return max(metric(pred, g) for g in gts)
-        return metric(pred, gt)
+        if metric is M.string_match_part:
+            return metric(pred, gt)  # handles a list of refs itself
+        # single-string metrics (needle, LongBench qa-F1/rouge/count/
+        # retrieval/code): best score over the acceptable answers
+        # (reference `evaluator.py:61-75` takes max over ground truths)
+        gts = gt if isinstance(gt, list) else [gt]
+        return max(metric(pred, g) for g in gts)
 
     def summarize(self) -> Dict:
         """Sample-weighted mean per dataset across ranks
