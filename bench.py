@@ -603,6 +603,19 @@ def main():
         record["rope_pre_tokens_per_s"] = round(tps_pre, 2)
         record["rope_pre_vs_baseline"] = round(tps_pre / tps_none, 3)
         roofline_fields("pre", cost_pre, tps_pre, b_fact)
+        if want_verify:
+            # Exact multi-token verify in PRE mode: ql query rows share one
+            # reconstruction pass, so per-position recon FLOPs divide by ql
+            # — the speculative-serving ceiling for the compute-bound
+            # reference-semantics mode (outputs stay bit-exact greedy; the
+            # sparse-pre kernel is the draft side).
+            tps_pre_v = measure_verify(
+                eng_pre, prepped_pre[0], prepped_pre[1], prepped_pre[2],
+                b_fact, args.verify_ql, vsteps,
+            )
+            record["rope_pre_verify_mt_positions_per_s"] = round(tps_pre_v, 2)
+            record["rope_pre_verify_mt_vs_baseline"] = round(
+                tps_pre_v / tps_none, 3)
         del eng_pre, prepped_pre
         eng_pre_sp = InferenceEngine(
             params, cfg, xkv=xkv_pre, mode="factored", tail_max=tail,
@@ -666,11 +679,12 @@ def main():
              "dense_tokens_per_s": round(tps_none, 2),
              "vs_baseline": record["vs_baseline"]},
         ]
+        # free the main-measurement objects first: the sweep's 16-layer
+        # weights (7.8 GB bf16) plus leftovers OOM'd the first r4 run
+        del eng_none, params, prompt
         for L in (4, 16):
             if L == args.layers:
                 continue
-            cfg_L, xkv_L, params_L, prompt_L = build(
-                kind, ctx, L, tail, rope_mode=args.rope_mode)
             # HBM-budget batch model (v5e, ~12 GB with headroom for
             # activations/tail/logits): weights ~0.47 GB/layer + 0.26
             # embed; dense cache 0.268 GB/layer/seq @64K; int8 factored
@@ -681,6 +695,8 @@ def main():
             b_d = max(1, int((12.0 - w_gb) / dense_seq))
             b_f = max(8, min(96, int((12.0 - w_gb) / fact_seq)))
             try:
+                cfg_L, xkv_L, params_L, prompt_L = build(
+                    kind, ctx, L, tail, rope_mode=args.rope_mode)
                 e_f = InferenceEngine(
                     params_L, cfg_L, xkv=xkv_L, mode="factored",
                     tail_max=tail,

@@ -439,3 +439,27 @@ def test_longbench_local_metric_discriminates():
         ev = Evaluator(bad_fn, tok.decode)
         summary = ev.test(ds, verbose=False)
         assert summary["score"] <= 0.5, (task, summary)
+
+
+def test_generator_sizing_saturates_on_finite_corpus():
+    """The haystack sizing loop must terminate when the generator's corpus
+    caps the text below max_seq_length (cwe's finite word pool previously
+    looped forever at >=32K byte-token targets)."""
+    from xkv_tpu.evalharness.ruler.generators import generate_task
+    from xkv_tpu.utils.tokenizer import ByteTokenizer
+
+    rows = generate_task(
+        "cwe", tokenizer=ByteTokenizer(), max_seq_length=32768,
+        num_samples=1, random_seed=42,
+    )
+    assert rows and 0 < rows[0]["length"] <= 32768
+
+
+def test_byte_tokenizer_decode_drops_out_of_range_ids():
+    """Models with vocab > 259 (e.g. the vocab-1024 study model) can emit
+    ids above the byte range; decode must drop them instead of raising."""
+    from xkv_tpu.utils.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    ids = tok.encode("hi") + [0, 1, 2, 400, 1023]
+    assert tok.decode(ids) == "hi"

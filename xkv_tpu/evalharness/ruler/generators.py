@@ -446,11 +446,19 @@ def generate_task(
     # Exponential-then-linear sizing: find the largest haystack that fits.
     size = incremental
     best = size
+    prev_total = -1
     while True:
         text, answer = make(size, random.Random(random_seed))
         total = count(text + " " + " ".join(map(str, answer))) + tokens_to_generate
         if total > max_seq_length:
             break
+        if total == prev_total:
+            # Saturated: the generator's corpus caps the text (e.g. cwe's
+            # finite word pool) below max_seq_length — growing the unit
+            # count further would loop forever.
+            size = best
+            break
+        prev_total = total
         best = size
         size += max(incremental, size)  # exponential growth: fewer probes
     lo, hi = best, size

@@ -227,10 +227,17 @@ def pipelined_decode_step(
     scale = 1.0 / math.sqrt(cfg.head_dim)
     hkv, hd = cfg.num_kv_heads, cfg.head_dim
 
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
     positions = pos + jnp.arange(ql)[None, :]
     cos, sin = rope_cos_sin(
         positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
     )
+    # closed-over values may be committed to a different mesh (the serving
+    # dp/tp mesh); replicate them onto the pipe mesh
+    cos = jax.device_put(cos, rep)
+    sin = jax.device_put(sin, rep)
 
     quantized = cache.groups[0].k_scale is not None
 
@@ -249,7 +256,7 @@ def pipelined_decode_step(
 
     stacked = stack_layer_params(params)
     h0 = params["embed"][tokens].reshape(M, mb, ql, cfg.hidden_size)
-    tail_len = cache.tail_len
+    tail_len = jax.device_put(cache.tail_len, rep)
 
     def stage_fn(stage_layers, kus, kvt, vus, vvt, ksc, vsc,
                  tail_k, tail_v, h_all):
@@ -388,7 +395,6 @@ def pipelined_decode_step(
         return jax.lax.psum(outputs, axis_name), tail_k, tail_v
 
     from jax import shard_map
-    from jax.sharding import NamedSharding
 
     Pp = P(axis_name)
     # Inputs may be committed to a different mesh (e.g. the dp/tp serving

@@ -41,7 +41,11 @@ class ByteTokenizer:
         return {"input_ids": self.encode(text, kw.get("add_special_tokens", False))}
 
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
-        data = bytes(int(i) - 3 for i in ids if int(i) >= 3)
+        # ids outside 3..258 are not bytes (specials below, and models
+        # with a larger vocab — e.g. the vocab-1024 study model — may emit
+        # private ids above); drop them like other tokenizers drop
+        # unknown pieces.
+        data = bytes(int(i) - 3 for i in ids if 3 <= int(i) <= 258)
         return data.decode("utf-8", errors="ignore")
 
 
