@@ -282,3 +282,93 @@ def test_batched_sparse_full_coverage_matches_dense_selection(params):
     ids_s, sparse = run(True)
     for i_d, i_s in zip(ids_d, ids_s):
         assert sparse[i_s] == dense[i_d]
+
+
+# ------------------------------------------------------------ sparse x int4
+def _mk_int4_engine(params, cfg, xkv, sparse=None, block=8):
+    kw = {}
+    if sparse is not None:
+        kw = dict(sparse_topk=sparse, sparse_block=block)
+    return InferenceEngine(
+        params, cfg, xkv=xkv, mode="factored", tail_max=8,
+        attention_impl="xla", donate_cache=False,
+        cache_dtype=jnp.float32, factor_dtype="int4",
+        prefill_logits="last", **kw,
+    )
+
+
+def test_sparse_int4_full_coverage_matches_exact():
+    """sparse x mixed-int4 (round 4): with every chunk selected, the
+    gathered rank-space path must equal the exact mixed4 decode."""
+    cfg = tiny_llama_config(
+        num_layers=2, num_q_heads=4, num_kv_heads=2, head_dim=16,
+        hidden_size=64, intermediate_size=128,
+    )
+    # rank 512+ tiles are production; tiny test ranks keep an even int4
+    # tail (engine/compression.py:int4_rank_hi)
+    xkv = generate_consecutive_xkv_config(
+        num_layers=2, end_layer=-1, group_size=2, rank_k=16, rank_v=16,
+        extra_kwargs={"rope_mode": "post", "int4_rank_frac": 0.5},
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, cfg.vocab_size, size=(2, 64)).astype(np.int32)
+
+    eng_exact = _mk_int4_engine(params, cfg, xkv)
+    out_exact = np.asarray(eng_exact.generate(prompt, max_new_tokens=6))
+
+    # 64 rows / block 8 = 8 chunks; select all 8 -> identical coverage
+    eng_sp = _mk_int4_engine(params, cfg, xkv, sparse=8, block=8)
+    out_sp = np.asarray(eng_sp.generate(prompt, max_new_tokens=6))
+    np.testing.assert_array_equal(out_sp, out_exact)
+
+
+def test_sparse_int4_partial_coverage_runs():
+    cfg = tiny_llama_config(
+        num_layers=2, num_q_heads=4, num_kv_heads=2, head_dim=16,
+        hidden_size=64, intermediate_size=128,
+    )
+    xkv = generate_consecutive_xkv_config(
+        num_layers=2, end_layer=-1, group_size=2, rank_k=16, rank_v=16,
+        extra_kwargs={"rope_mode": "post", "int4_rank_frac": 0.5},
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 64)).astype(np.int32)
+    eng = _mk_int4_engine(params, cfg, xkv, sparse=3, block=8)
+    out = np.asarray(eng.generate(prompt, max_new_tokens=4))
+    assert out.shape == (1, 4)
+
+
+def test_batched_sparse_int4_full_coverage_matches_exact():
+    """BatchedEngine: sparse x int4 with full chunk coverage == exact
+    batched int4 decode (slot layout carries the Quest bounds)."""
+    from xkv_tpu.engine.batching import BatchedEngine
+
+    cfg = tiny_llama_config(
+        num_layers=2, num_q_heads=4, num_kv_heads=2, head_dim=16,
+        hidden_size=64, intermediate_size=128,
+    )
+    xkv = generate_consecutive_xkv_config(
+        num_layers=2, end_layer=-1, group_size=2, rank_k=16, rank_v=16,
+        extra_kwargs={"rope_mode": "post", "int4_rank_frac": 0.5},
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, size=(n,)).astype(np.int32)
+               for n in (32, 24)]
+
+    def run(sparse):
+        kw = dict(sparse_topk=4, sparse_block=8) if sparse else {}
+        be = BatchedEngine(
+            params, cfg, xkv=xkv, num_slots=2, s_max=32, tail_max=8,
+            prefill_buckets=[32], cache_dtype=jnp.float32,
+            factor_dtype="int4", attention_impl="xla", **kw,
+        )
+        ids = [be.submit(p, 4) for p in prompts]
+        return ids, {r.request_id: r.generated for r in be.run()}
+
+    ids_d, exact = run(False)
+    ids_s, sparse = run(True)
+    for i_d, i_s in zip(ids_d, ids_s):
+        assert sparse[i_s] == exact[i_d]

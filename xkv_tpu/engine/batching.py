@@ -101,11 +101,12 @@ class BatchedEngine:
                     "merge_key=True and merge_value=True (one-sided int4 "
                     "is supported by the single-stream InferenceEngine)"
                 )
-            if sparse_topk is not None or speculative_k is not None:
+            if speculative_k is not None:
                 raise ValueError(
-                    "factor_dtype='int4' composes with plain batched "
-                    "decode only (the sparse kernel streams int8/bf16 us "
-                    "blocks; llama speculation drafts with sparse_topk)"
+                    "factor_dtype='int4' does not compose with batched "
+                    "speculation yet (the multi-token verify pass needs "
+                    "the mixed packed layout in its exact path); "
+                    "sparse_topk composes (rank-space gathered rows)"
                 )
             max_rank = max(
                 max(g.rank_k or 0, g.rank_v or 0) for g in xkv.layer_groups

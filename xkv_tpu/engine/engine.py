@@ -63,12 +63,9 @@ class InferenceEngine:
                     "sparse_topk is llama-family only (MLA's absorbed decode "
                     "is already rank-space)"
                 )
-            if factor_dtype == "int4":
-                raise ValueError(
-                    "sparse_topk with mixed int8+int4 factors is not "
-                    "supported yet (the sparse kernel streams int8/bf16 "
-                    "us blocks); use factor_dtype='int8'"
-                )
+            # factor_dtype='int4' composes (round 4): Quest selection
+            # gathers int8 + packed-int4 rows and the rank-space XLA path
+            # attends over them (sparse_rankspace_decode_attention_xla).
         if factor_dtype == "int4":
             if cfg.model_type == "deepseek_v2":
                 raise ValueError(

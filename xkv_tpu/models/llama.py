@@ -34,6 +34,7 @@ from xkv_tpu.ops.attention import (
     rankspace_decode_attention_xla,
     select_topk_chunks,
     sparse_factored_decode_attention_xla,
+    sparse_rankspace_decode_attention_xla,
 )
 from xkv_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -317,13 +318,33 @@ def _post_rope_factored_part(
 
     if gf.k_us4 is not None:
         # Mixed int8+int4 factors (factor_dtype='int4'): packed-nibble
-        # kernel or the XLA mixed path. Sparse/TP combos are engine-gated.
+        # kernel or the XLA mixed path. TP combos are engine-gated.
         kw4 = dict(
             k_us4=gf.k_us4,
             k_vt4_slice=vt_layer_slice(gf.k_vt4, gpos, hkv, hd),
             k_scale4_slice=vt_layer_slice(gf.k_scale4, gpos, hkv, hd),
             v_us4=gf.v_us4,
         )
+        if sparse_ok:
+            # sparse x int4 (round 4): Quest selection, then rank-space
+            # attention over the gathered int8+packed-int4 rows (XLA —
+            # the packed-nibble Pallas kernel has no sparse variant yet).
+            nc = gf.k_cmin.shape[1]
+            blk = sparse_block
+            assert nc == -(-gf.k_us.shape[1] // blk), (
+                "k_cmin chunk count does not match sparse_block")
+            ids = select_topk_chunks(
+                q, vt_layer_slice(gf.k_cmin, gpos, hkv, hd),
+                vt_layer_slice(gf.k_cmax, gpos, hkv, hd),
+                n_select=min(sparse_select, nc), num_kv_heads=hkv,
+                valid_len=lengths, block=blk, win_lo=win_lo,
+            )
+            return sparse_rankspace_decode_attention_xla(
+                q, gf.k_us, vt_k, gf.v_us, vt_v, ids, scale, hkv,
+                block=blk, k_scale_slice=k_scale_slice,
+                v_rank_scale=gf.v_scale, valid_len=lengths,
+                valid_lo=win_lo, **kw4,
+            )
         if attention_impl == "pallas" and pallas_ok and mesh is None:
             from xkv_tpu.ops.pallas.rankspace_attention import (
                 rankspace_decode_attention,

@@ -596,3 +596,115 @@ def blockwise_causal_attention(
     out = jnp.moveaxis(outs, 0, 3).reshape(b, hkv, hq // hkv, s_q_pad, hd_v)
     out = out.reshape(b, hq, s_q_pad, hd_v)
     return out[:, :, :s_q]
+
+
+def sparse_rankspace_decode_attention_xla(
+    q: jax.Array,  # (b, hq, ql, hd) POST-RoPE decode queries
+    k_us: jax.Array,  # (b, s_p, rk) int8 top ranks (or full bf16/fp32)
+    k_vt_slice: jax.Array,  # (b, rk, hkv*hd)
+    v_us: jax.Array,
+    v_vt_slice: jax.Array,  # (b, rv_tot, hkv*hd) — [hi | lo-eo] if mixed
+    ids: jax.Array,  # (b, n_select) chunk ids from select_topk_chunks
+    scale: float,
+    num_kv_heads: int,
+    block: int,
+    k_scale_slice: Optional[jax.Array] = None,
+    v_rank_scale: Optional[jax.Array] = None,  # (b, 1, rv_tot)
+    valid_len: Optional[jax.Array] = None,
+    k_us4: Optional[jax.Array] = None,  # packed int4 tails (mixed storage)
+    k_vt4_slice: Optional[jax.Array] = None,
+    k_scale4_slice: Optional[jax.Array] = None,
+    v_us4: Optional[jax.Array] = None,
+    valid_lo: Optional[jax.Array] = None,
+) -> PartialAttention:
+    """Sparse top-k decode over POST-RoPE factors in rank space, incl.
+    mixed int8+int4 packed storage (the sparse x int4 composition,
+    VERDICT r3 #4 follow-through): gather ONLY the selected chunks' us
+    rows (int8 and packed-int4 streams alike — packing is along the rank
+    axis, so row gathers are layout-preserving), then run the exact
+    rank-space math of ``rankspace_decode_attention_xla`` on the gathered
+    sub-cache with per-row position masks. K is never reconstructed.
+    """
+    b, hq, ql, hd = q.shape
+    hkv = num_kv_heads
+    gsz = hq // hkv
+    s_p = k_us.shape[1]
+    n_sel = ids.shape[1]
+    nc = -(-s_p // block)
+    s_pad = nc * block
+
+    def gather_rows(x):  # (b, s_p, r) -> (b, n_sel*block, r)
+        if x is None:
+            return None
+        if s_pad != s_p:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s_p), (0, 0)))
+        xc = x.reshape(b, nc, block, x.shape[-1])
+        g = jnp.take_along_axis(xc, ids[:, :, None, None], axis=1)
+        return g.reshape(b, n_sel * block, x.shape[-1])
+
+    k_us_g = gather_rows(k_us)
+    v_us_g = gather_rows(v_us)
+    k_us4_g = gather_rows(k_us4)
+    v_us4_g = gather_rows(v_us4)
+    pos = (
+        ids[:, :, None] * block + jnp.arange(block)[None, None, :]
+    ).reshape(b, n_sel * block)
+
+    def q_to_rank(vt_slice, col_scale):
+        vt_f = vt_slice.astype(jnp.float32)
+        if col_scale is not None:
+            vt_f = vt_f * col_scale.astype(jnp.float32)
+        vt_f = vt_f.reshape(b, vt_slice.shape[1], hkv, hd)
+        qg = q.astype(jnp.float32).reshape(b, hkv, gsz, ql, hd)
+        return jnp.einsum("bgnqd,brgd->bgnqr", qg, vt_f) * scale
+
+    scores = jnp.einsum(
+        "bgnqr,bsr->bgnqs", q_to_rank(k_vt_slice, k_scale_slice),
+        k_us_g.astype(jnp.float32), preferred_element_type=jnp.float32,
+    )
+    if k_us4_g is not None:
+        from xkv_tpu.compress.quant import unpack_int4_pairs
+
+        ev, od = unpack_int4_pairs(k_us4_g)
+        us_lo = jnp.concatenate([ev, od], axis=-1).astype(jnp.float32)
+        scores = scores + jnp.einsum(
+            "bgnqr,bsr->bgnqs", q_to_rank(k_vt4_slice, k_scale4_slice),
+            us_lo, preferred_element_type=jnp.float32,
+        )
+    scores = scores.reshape(b, hq, ql, n_sel * block)
+
+    mask = jnp.ones((b, n_sel * block), bool)
+    mask &= pos < (valid_len[:, None] if valid_len is not None
+                   else jnp.full((b, 1), s_p))
+    if valid_lo is not None:
+        mask &= pos >= valid_lo[:, None]
+    mask = mask[:, None, None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m_safe = jnp.maximum(m, -1e29)
+    e = jnp.where(mask, jnp.exp(scores - m_safe), 0.0)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(l, 1e-30)
+
+    v_us_f = v_us_g.astype(jnp.float32)
+    if v_us4_g is not None:
+        from xkv_tpu.compress.quant import unpack_int4_pairs
+
+        ev, od = unpack_int4_pairs(v_us4_g)
+        v_us_f = jnp.concatenate(
+            [v_us_f, ev.astype(jnp.float32), od.astype(jnp.float32)],
+            axis=-1,
+        )
+    rv_tot = v_us_f.shape[2]
+    t = jnp.einsum(
+        "bhqs,bsr->bhqr", p, v_us_f, preferred_element_type=jnp.float32
+    )
+    if v_rank_scale is not None:
+        t = t * v_rank_scale.astype(jnp.float32)[:, None]
+    vt_v = v_vt_slice.astype(jnp.float32).reshape(b, rv_tot, hkv, hd)
+    tg = t.reshape(b, hkv, gsz, ql, rv_tot)
+    out = jnp.einsum("bgnqr,brgd->bgnqd", tg, vt_v).reshape(b, hq, ql, hd)
+    lse = jnp.squeeze(m_safe, -1) + jnp.log(
+        jnp.maximum(jnp.squeeze(l, -1), 1e-30)
+    )
+    return PartialAttention(out=out, lse=lse)
