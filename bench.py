@@ -682,7 +682,11 @@ def main():
         # free the main-measurement objects first: the sweep's 16-layer
         # weights (7.8 GB bf16) plus leftovers OOM'd the first r4 run
         del eng_none, params, prompt
-        for L in (4, 16):
+        # 16 layers documents the ceiling: at 64K even PREFILL exceeds
+        # one chip's HBM in BOTH modes (7.8 GB weights + 4.3 GB per-layer
+        # K/V staging) — recorded as error_* fields, which is itself the
+        # capacity story. 12 layers is the deepest measurable trend point.
+        for L in (4, 12, 16):
             if L == args.layers:
                 continue
             # HBM-budget batch model (v5e, ~12 GB with headroom for

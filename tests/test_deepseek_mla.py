@@ -215,3 +215,79 @@ def test_mla_pallas_kernel_matches_xla(params, prompt):
     out_x = np.asarray(eng_x.generate(prompt, max_new_tokens=6))
     out_p = np.asarray(eng_p.generate(prompt, max_new_tokens=6))
     np.testing.assert_array_equal(out_x, out_p)
+
+
+# --------------------------------------------------------------- int4 x MLA
+def _tiny_mla_cfg():
+    return CFG
+
+
+def test_mla_int4_factors_close_to_fp32():
+    """factor_dtype='int4' on the MLA latent (round 4): mixed int8+int4
+    rank-space decode tracks the fp32-factor decode closely, and the
+    packed tail provably contributes (dropping it moves the logits)."""
+    cfg = _tiny_mla_cfg()
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=None, merge_value=False,
+        extra_kwargs={"int4_rank_frac": 0.5},
+    )
+    params = deepseek.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, cfg.vocab_size, size=(2, 48)).astype(np.int32)
+
+    def logits_with(fd):
+        eng = InferenceEngine(
+            params, cfg, xkv=xkv, mode="factored", tail_max=8,
+            attention_impl="xla", donate_cache=False,
+            cache_dtype=jnp.float32, factor_dtype=fd,
+            prefill_logits="last",
+        )
+        lg, cache = eng.prefill(prompt)
+        tok = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        lg2, _ = eng.decode_step(cache, tok, jnp.asarray(48, jnp.int32))
+        return np.asarray(lg2), eng, cache
+
+    ref, _, _ = logits_with(jnp.float32)
+    got, eng4, cache4 = logits_with("int4")
+    assert cache4.groups[0].k_us4 is not None
+    assert cache4.groups[0].k_rnorm is not None
+    # int4 tail quantization noise stays small relative to logit scale
+    denom = np.maximum(np.abs(ref).max(), 1e-6)
+    assert np.abs(got - ref).max() / denom < 0.15, (
+        np.abs(got - ref).max(), denom)
+
+    # the packed tail contributes: zeroing us4 changes the logits
+    import dataclasses as dc
+
+    gf = cache4.groups[0]
+    cache_no4 = cache4.replace(
+        groups=(dc.replace(gf, k_us4=jnp.zeros_like(gf.k_us4)),)
+        + cache4.groups[1:]
+    )
+    tok = jnp.zeros((2, 1), jnp.int32)
+    lg_a, _ = eng4.decode_step(cache4, tok, jnp.asarray(48, jnp.int32))
+    lg_b, _ = eng4.decode_step(cache_no4, tok, jnp.asarray(48, jnp.int32))
+    assert np.abs(np.asarray(lg_a) - np.asarray(lg_b)).max() > 1e-6
+
+
+def test_mla_int4_generate_and_refactorize():
+    """Generation past tail_max refactorizes the mixed4 MLA cache
+    (re-SVD + requantize + k_rnorm regeneration) without error."""
+    cfg = _tiny_mla_cfg()
+    xkv = generate_consecutive_xkv_config(
+        num_layers=cfg.num_layers, end_layer=-1, group_size=2,
+        rank_k=16, rank_v=None, merge_value=False,
+        extra_kwargs={"int4_rank_frac": 0.5},
+    )
+    params = deepseek.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 48)).astype(np.int32)
+    eng = InferenceEngine(
+        params, cfg, xkv=xkv, mode="factored", tail_max=4,
+        attention_impl="xla", donate_cache=False,
+        cache_dtype=jnp.float32, factor_dtype="int4",
+        prefill_logits="last",
+    )
+    out = np.asarray(eng.generate(prompt, max_new_tokens=10))
+    assert out.shape == (1, 10)

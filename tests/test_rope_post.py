@@ -346,9 +346,10 @@ def test_int4_validation():
     with pytest.raises(ValueError, match="rope_mode='post'"):
         make_engine(params_l, "factored", pre_cfg, factor_dtype="int4")
     cfg = xkv_cfg()
-    with pytest.raises(ValueError, match="sparse_topk"):
-        make_engine(params_l, "factored", cfg, factor_dtype="int4",
-                    sparse_topk=4)
+    # sparse x int4 composes since round 4 (rank-space gathered rows;
+    # parity in tests/test_sparse.py) — construction must succeed.
+    make_engine(params_l, "factored", cfg, factor_dtype="int4",
+                sparse_topk=4)
     from xkv_tpu.engine.batching import BatchedEngine
 
     # Batched int4 is supported since round 3 (tests/test_batching.py);

@@ -220,10 +220,11 @@ def build_cache(
         if xkv.layer_merge_impl == "svd":
             quantize = factor_dtype in ("int8", jnp.int8)
             mixed4 = factor_dtype == "int4"
-            if mixed4 and not rope_post:
+            if mixed4 and not rope_post and rope_dense_keys:
                 raise ValueError(
                     "factor_dtype='int4' (mixed int8+int4) requires "
-                    "rope_mode='post' (the rank-space decode path)"
+                    "rope_mode='post' (the rank-space decode path); MLA "
+                    "latents are RoPE-free and compose directly"
                 )
 
             def _r_hi(rank):
@@ -258,6 +259,16 @@ def build_cache(
                         k_vt4=qk4.vt4, k_scale=qk4.out_scale,
                         k_scale4=qk4.scale4,
                     )
+                    if not rope_dense_keys:
+                        # MLA: per-row inv-rms of the DEQUANTIZED latent
+                        # the absorbed decode will contract against.
+                        from xkv_tpu.compress.quant import (
+                            dequantize_k_mixed4,
+                        )
+
+                        gf_kwargs["k_rnorm"] = latent_rnorm(
+                            dequantize_k_mixed4(qk4), len(layers)
+                        )
                 elif quantize:
                     from xkv_tpu.compress.quant import (
                         dequantize_k,
@@ -521,6 +532,12 @@ def refactorize_cache(
                     k_vt4=qk4.vt4, k_scale=qk4.out_scale,
                     k_scale4=qk4.scale4,
                 )
+                if gf.k_rnorm is not None:
+                    from xkv_tpu.compress.quant import dequantize_k_mixed4
+
+                    kw["k_rnorm"] = latent_rnorm(
+                        dequantize_k_mixed4(qk4), len(layers)
+                    )
             elif quantized:
                 from xkv_tpu.compress.quant import quantize_k_factors
 
@@ -778,6 +795,14 @@ def refactorize_slot_cache(
                     k_scale=put(gf.k_scale, qk4.out_scale, 0),
                     k_scale4=put(gf.k_scale4, qk4.scale4, 0),
                 )
+                if gf.k_rnorm is not None:
+                    from xkv_tpu.compress.quant import dequantize_k_mixed4
+
+                    kw["k_rnorm"] = put(
+                        gf.k_rnorm,
+                        latent_rnorm(dequantize_k_mixed4(qk4), len(layers)),
+                        0,
+                    )
             elif gf.k_scale is not None:
                 qk = quantize_k_factors(fac_k.us, fac_k.vt)
                 kw.update(

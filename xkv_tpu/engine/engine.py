@@ -67,13 +67,11 @@ class InferenceEngine:
             # gathers int8 + packed-int4 rows and the rank-space XLA path
             # attends over them (sparse_rankspace_decode_attention_xla).
         if factor_dtype == "int4":
-            if cfg.model_type == "deepseek_v2":
-                raise ValueError(
-                    "factor_dtype='int4' is llama-family rope_mode='post' "
-                    "only for now; MLA uses int8 factors"
-                )
-            if xkv is not None and mode == "factored" \
-                    and xkv.rope_mode != "post":
+            # llama-family needs rope_mode='post' (rank-space decode);
+            # MLA latents are RoPE-free and compose directly (round 4 —
+            # mixed int8+int4 score/value terms in the absorbed decode).
+            if cfg.model_type != "deepseek_v2" and xkv is not None \
+                    and mode == "factored" and xkv.rope_mode != "post":
                 raise ValueError(
                     "factor_dtype='int4' requires rope_mode='post' "
                     "(rank-space decode; docs/ROPE_MODES.md)"

@@ -425,6 +425,34 @@ def decode_step(
                 "bhqr,bsr->bhqs", q_emb, us_f,
                 preferred_element_type=jnp.float32,
             ) * r_l[:, None, None, :]
+            # Mixed int8+int4 latent factors (factor_dtype='int4', round
+            # 4): the packed tail ranks contribute a second rank-space
+            # term on both the score and value sides. Drafts (draft_rank)
+            # use the int8 top ranks only — they are approximate anyway.
+            mixed4_mla = gf.k_us4 is not None and draft_rank is None
+            if mixed4_mla:
+                from xkv_tpu.compress.quant import unpack_int4_pairs
+
+                vt4_l = jax.lax.slice_in_dim(
+                    gf.k_vt4, gpos * width, (gpos + 1) * width, axis=2
+                )
+                sc4_l = jax.lax.slice_in_dim(
+                    gf.k_scale4, gpos * width, (gpos + 1) * width, axis=2
+                )
+                fold4_lo = w4 * sc4_l[:, :, None, :]
+                ev, od = unpack_int4_pairs(gf.k_us4)
+                us_lo_f = jnp.concatenate([ev, od], axis=-1).astype(
+                    jnp.float32
+                )
+                q_emb4 = jnp.einsum(
+                    "bhql,brl->bhqr", q_abs * fold4_lo,
+                    vt4_l.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                s_nope_p = s_nope_p + jnp.einsum(
+                    "bhqr,bsr->bhqs", q_emb4, us_lo_f,
+                    preferred_element_type=jnp.float32,
+                ) * r_l[:, None, None, :]
             s_p_len = k_us.shape[1]
             latent_p = None
         elif gf is not None and gf.k_us is not None:
@@ -476,6 +504,7 @@ def decode_step(
 
         mla_kernel_ok = (
             rank_space
+            and not mixed4_mla
             and attention_impl == "pallas"
             and mesh is None
             and (
@@ -537,6 +566,15 @@ def decode_step(
                     "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
                     preferred_element_type=jnp.float32,
                 ) * fold4
+                if mixed4_mla:
+                    t4 = jnp.einsum(
+                        "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :],
+                        us_lo_f, preferred_element_type=jnp.float32,
+                    )
+                    lat_pre = lat_pre + jnp.einsum(
+                        "bhqr,brl->bhql", t4, vt4_l.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    ) * fold4_lo
             else:
                 lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
             lat_sum = lat_pre + jnp.einsum(
@@ -712,12 +750,40 @@ def decode_step_batched(
             q_emb = jnp.einsum(
                 "bhql,brl->bhqr", q_abs * fold4, vt_l.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
-            )
+            )  # (b, nh, ql, rk)
             us_f = k_us.astype(jnp.float32)
             s_nope_p = jnp.einsum(
                 "bhqr,bsr->bhqs", q_emb, us_f,
                 preferred_element_type=jnp.float32,
             ) * r_l[:, None, None, :]
+            # Mixed int8+int4 latent factors (factor_dtype='int4', round
+            # 4): the packed tail ranks contribute a second rank-space
+            # term on both the score and value sides. Drafts (draft_rank)
+            # use the int8 top ranks only — they are approximate anyway.
+            mixed4_mla = gf.k_us4 is not None and draft_rank is None
+            if mixed4_mla:
+                from xkv_tpu.compress.quant import unpack_int4_pairs
+
+                vt4_l = jax.lax.slice_in_dim(
+                    gf.k_vt4, gpos * width, (gpos + 1) * width, axis=2
+                )
+                sc4_l = jax.lax.slice_in_dim(
+                    gf.k_scale4, gpos * width, (gpos + 1) * width, axis=2
+                )
+                fold4_lo = w4 * sc4_l[:, :, None, :]
+                ev, od = unpack_int4_pairs(gf.k_us4)
+                us_lo_f = jnp.concatenate([ev, od], axis=-1).astype(
+                    jnp.float32
+                )
+                q_emb4 = jnp.einsum(
+                    "bhql,brl->bhqr", q_abs * fold4_lo,
+                    vt4_l.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                s_nope_p = s_nope_p + jnp.einsum(
+                    "bhqr,bsr->bhqs", q_emb4, us_lo_f,
+                    preferred_element_type=jnp.float32,
+                ) * r_l[:, None, None, :]
             s_p_len = k_us.shape[1]
             latent_p = None
         elif gf is not None and gf.k_us is not None:
@@ -764,6 +830,7 @@ def decode_step_batched(
 
         mla_kernel_ok = (
             rank_space
+            and not mixed4_mla
             and attention_impl == "pallas"
             and mesh is None
             and (
@@ -831,6 +898,15 @@ def decode_step_batched(
                     "bhqr,brl->bhql", t_pre, vt_l.astype(jnp.float32),
                     preferred_element_type=jnp.float32,
                 ) * fold4
+                if mixed4_mla:
+                    t4 = jnp.einsum(
+                        "bhqs,bsr->bhqr", p_pre * r_l[:, None, None, :],
+                        us_lo_f, preferred_element_type=jnp.float32,
+                    )
+                    lat_pre = lat_pre + jnp.einsum(
+                        "bhqr,brl->bhql", t4, vt4_l.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    ) * fold4_lo
             else:
                 lat_pre = jnp.einsum("bhqs,bsl->bhql", p_pre, latent_p)
             lat_sum = lat_pre + jnp.einsum(
