@@ -682,10 +682,10 @@ def main():
         # free the main-measurement objects first: the sweep's 16-layer
         # weights (7.8 GB bf16) plus leftovers OOM'd the first r4 run
         del eng_none, params, prompt
-        # 16 layers documents the ceiling: at 64K even PREFILL exceeds
-        # one chip's HBM in BOTH modes (7.8 GB weights + 4.3 GB per-layer
-        # K/V staging) — recorded as error_* fields, which is itself the
-        # capacity story. 12 layers is the deepest measurable trend point.
+        # Depths past 8 document the ceiling: at 64K both modes fail on
+        # one chip (dense runtime-OOMs at batch 1 from 12 layers; the
+        # factored prefill graph exceeds the compile budget) — recorded
+        # as error_* fields, which is itself the capacity story.
         for L in (4, 12, 16):
             if L == args.layers:
                 continue

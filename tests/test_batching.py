@@ -449,6 +449,12 @@ def test_batched_int4_validation(params):
     with pytest.raises(ValueError, match="rope_mode"):
         BatchedEngine(params, CFG, xkv=xkv_pre, num_slots=1, s_max=16,
                       factor_dtype="int4")
-    with pytest.raises(ValueError, match="sparse"):
+    # sparse x int4 composes since round 4 (tests/test_sparse.py parity);
+    # batched speculation x int4 remains guarded.
+    BatchedEngine(params, CFG, xkv=_post_int4_xkv(), num_slots=1,
+                  s_max=16, factor_dtype="int4", sparse_topk=2,
+                  sparse_block=8)
+    with pytest.raises(ValueError, match="speculation"):
         BatchedEngine(params, CFG, xkv=_post_int4_xkv(), num_slots=1,
-                      s_max=16, factor_dtype="int4", sparse_topk=2)
+                      s_max=16, factor_dtype="int4", sparse_topk=2,
+                      sparse_block=8, speculative_k=2)
