@@ -51,6 +51,19 @@ CONFIGS = {
                                 "--rope_mode", "post",
                                 "--layer_group_size", "4", "--rank_k", "768",
                                 "--rank_v", "1024", "--factor_dtype", "int8"],
+    # approximate sparse decode (Quest top-k over the factored cache):
+    # 4 of 16 chunks at 8K — the serving configuration whose accuracy
+    # previously rested on the synthetic induction gate alone
+    "xkv4_post_sparse_int8": ["--xKV", "--mode", "factored",
+                              "--rope_mode", "post",
+                              "--layer_group_size", "4", "--rank_k", "512",
+                              "--rank_v", "768", "--factor_dtype", "int8",
+                              "--sparse_topk", "4", "--sparse_block", "512"],
+    "xkv4_post_sparse8_int8": ["--xKV", "--mode", "factored",
+                               "--rope_mode", "post",
+                               "--layer_group_size", "4", "--rank_k", "512",
+                               "--rank_v", "768", "--factor_dtype", "int8",
+                               "--sparse_topk", "8", "--sparse_block", "512"],
 }
 
 
