@@ -372,3 +372,39 @@ def test_batched_sparse_int4_full_coverage_matches_exact():
     ids_s, sparse = run(True)
     for i_d, i_s in zip(ids_d, ids_s):
         assert sparse[i_s] == exact[i_d]
+
+
+# ------------------------------------------------------- per-layer mixing
+def test_sparse_layers_mixing(params):
+    """Per-layer sparse/dense mixing (round 4): layers outside
+    sparse_layers read the factored cache exactly, so an empty set equals
+    exact decode bit-wise, and a subset runs."""
+    cfg = xkv_cfg()
+    prompt = np.random.default_rng(8).integers(
+        0, CFG.vocab_size, size=(2, 32)
+    ).astype(np.int32)
+    exact = np.asarray(InferenceEngine(
+        params, CFG, xkv=cfg, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+        donate_cache=False,
+    ).generate(prompt, max_new_tokens=6))
+    # empty set: sparse machinery on, but every layer exact
+    eng_none = InferenceEngine(
+        params, CFG, xkv=cfg, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+        donate_cache=False, sparse_topk=2, sparse_block=8,
+        sparse_layers=(),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng_none.generate(prompt, max_new_tokens=6)), exact
+    )
+    # subset: runs, and full-coverage selection still equals exact
+    eng_mix = InferenceEngine(
+        params, CFG, xkv=cfg, mode="factored", tail_max=8,
+        cache_dtype=jnp.float32, factor_dtype=jnp.float32,
+        donate_cache=False, sparse_topk=4, sparse_block=8,
+        sparse_layers=(0, 1),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng_mix.generate(prompt, max_new_tokens=6)), exact
+    )

@@ -76,6 +76,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="sparse decode: attend to the N best prefill "
                         "chunks per step (Quest-bound selection)")
     parser.add_argument("--sparse_block", type=int, default=1024)
+    parser.add_argument("--sparse_layers", type=str, default=None,
+                        help="comma list of layer indices to decode "
+                        "sparsely (others stay exact) — per-layer mixing "
+                        "for layers whose Quest bounds are uninformative")
     parser.add_argument("--slerp_compact", action="store_true",
                         help="compact MiniCache storage (direction + norms "
                         "+ exception rows) for slerp groups")
@@ -185,6 +189,9 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
     if getattr(args, "sparse_topk", None) and mode == "factored":
         kw.setdefault("sparse_topk", args.sparse_topk)
         kw.setdefault("sparse_block", args.sparse_block)
+        if getattr(args, "sparse_layers", None):
+            kw.setdefault("sparse_layers", frozenset(
+                int(x) for x in args.sparse_layers.split(",")))
     if getattr(args, "draft_rank", None) and mode == "factored":
         kw.setdefault("draft_rank", args.draft_rank)
     return InferenceEngine(

@@ -68,6 +68,7 @@ class BatchedEngine:
         prefill_chunk: Optional[int] = None,
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
+        sparse_layers=None,
         speculative_k: Optional[int] = None,
         draft_rank: Optional[int] = None,
         mesh=None,
@@ -169,9 +170,13 @@ class BatchedEngine:
             raise ValueError("sparse_topk is llama-family only")
         self.sparse_topk = sparse_topk
         self.sparse_block = sparse_block
+        self.sparse_layers = (
+            None if sparse_layers is None else frozenset(sparse_layers)
+        )
         self._sparse_kw = (
             {} if sparse_topk is None
-            else {"sparse_select": sparse_topk, "sparse_block": sparse_block}
+            else {"sparse_select": sparse_topk, "sparse_block": sparse_block,
+                  "sparse_layers": self.sparse_layers}
         )
         # Rank-truncated drafts (MLA's speculative draft flavor; llama
         # drafts with sparse_topk). Draft-only: plain steps stay full-rank.

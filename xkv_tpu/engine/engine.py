@@ -43,6 +43,7 @@ class InferenceEngine:
         prefill_logits: str = "all",
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
+        sparse_layers=None,
         draft_rank: Optional[int] = None,
         sequence_parallel: bool = False,
     ):
@@ -81,9 +82,17 @@ class InferenceEngine:
             # dequantize_{k,v}_mixed4 (models/llama.py; VERDICT r3 #4).
         self.sparse_topk = sparse_topk
         self.sparse_block = sparse_block
+        # Per-layer sparse/dense mixing: Quest-bound informativeness is
+        # layer-dependent (docs/RULER_OFFLINE.md — a retrieval layer with
+        # uninformative bounds loses the needle); layers outside
+        # sparse_layers read the factored cache exactly.
+        self.sparse_layers = (
+            None if sparse_layers is None else frozenset(sparse_layers)
+        )
         self._sparse_kw = (
             {} if sparse_topk is None
-            else {"sparse_select": sparse_topk, "sparse_block": sparse_block}
+            else {"sparse_select": sparse_topk, "sparse_block": sparse_block,
+                  "sparse_layers": self.sparse_layers}
         )
         # Rank-truncated drafts for speculative decoding (MLA: the absorbed
         # decode has no sparse chunk path, but the SVD-ordered latent

@@ -453,8 +453,16 @@ def decode_step(
     mesh=None,
     sparse_select: Optional[int] = None,
     sparse_block: int = 512,
+    sparse_layers: Optional[frozenset] = None,
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step with the hybrid factored cache.
+
+    ``sparse_layers``: restrict sparse top-k to these layer indices (other
+    layers read the factored cache exactly). Per-layer mixing exists
+    because Quest-bound informativeness is LAYER-dependent — measured on
+    the offline RULER suite: the retrieval layer's box bounds can rank
+    the needle chunk at the sink while other layers' bounds are sharp
+    (docs/RULER_OFFLINE.md).
 
     tokens: (b, ql) next token(s); pos: () int32 absolute position of
     tokens[:, 0]. prefill_cos_sin: RoPE tables (s_p, hd) for prefill
@@ -539,6 +547,7 @@ def decode_step(
                 sparse_select is not None
                 and gf.k_cmin is not None
                 and ql == 1
+                and (sparse_layers is None or li in sparse_layers)
             )
             if rope_post:
                 parts.append(
@@ -773,6 +782,7 @@ def decode_step_batched(
     mesh=None,
     sparse_select: Optional[int] = None,
     sparse_block: int = 512,
+    sparse_layers: Optional[frozenset] = None,
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step across B independent slots (continuous batching).
 
@@ -860,6 +870,7 @@ def decode_step_batched(
             )
             sparse_ok_b = (
                 sparse_select is not None
+                and (sparse_layers is None or li in sparse_layers)
                 and gf.k_cmin is not None
                 and ql == 1
             )
