@@ -64,6 +64,17 @@ CONFIGS = {
                                "--layer_group_size", "4", "--rank_k", "512",
                                "--rank_v", "768", "--factor_dtype", "int8",
                                "--sparse_topk", "8", "--sparse_block", "512"],
+    # per-layer sparse/dense mixing (the round-4 fix): the retrieval
+    # layer (3, found by force-include bisection) reads exactly, layers
+    # 0-2 stay sparse — docs/RULER_OFFLINE.md
+    "xkv4_post_sparse_mixed_int8": ["--xKV", "--mode", "factored",
+                                    "--rope_mode", "post",
+                                    "--layer_group_size", "4",
+                                    "--rank_k", "512", "--rank_v", "768",
+                                    "--factor_dtype", "int8",
+                                    "--sparse_topk", "4",
+                                    "--sparse_block", "512",
+                                    "--sparse_layers", "0,1,2"],
 }
 
 
