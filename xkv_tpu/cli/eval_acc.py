@@ -93,18 +93,22 @@ def main(argv=None):
         )
 
     def bucket_pad(prompt_ids):
-        """[BOS, filler..., prompt] padded to a multiple of --pad_to.
+        """[BOS?, filler..., prompt] padded to a multiple of --pad_to.
         Left-padding with haystack noise is semantically inert for RULER
         (it IS the haystack sentence) and keeps compiled prefill shapes
-        shared across samples."""
+        shared across samples. A tokenizer with no BOS (bos_token_id is
+        None) gets NO synthetic prefix — pad to an exact multiple instead
+        (ADVICE r4: `or 1` silently injected an arbitrary vocab piece, and
+        a legitimate bos_token_id of 0 was replaced)."""
         n = int(prompt_ids.shape[1])
-        tgt = -(-(n + 1) // args.pad_to) * args.pad_to
-        need = tgt - n - 1
+        bos = getattr(tokenizer, "bos_token_id", None)
+        n_bos = 0 if bos is None else 1
+        tgt = -(-(n + n_bos) // args.pad_to) * args.pad_to
+        need = tgt - n - n_bos
         reps = np.tile(pad_filler, need // len(pad_filler) + 1)[:need]
-        bos = getattr(tokenizer, "bos_token_id", None) or 1
+        head = [] if bos is None else [np.asarray([bos], np.int32)]
         row = np.concatenate(
-            [np.asarray([bos], np.int32), reps,
-             np.asarray(prompt_ids).reshape(-1)]
+            head + [reps, np.asarray(prompt_ids).reshape(-1)]
         )
         return row[None, :]
 

@@ -104,8 +104,14 @@ def collective_overlap_report(hlo_text: str) -> dict:
 
     compute = [n for n, op in ops.items()
                if any(op.startswith(c) for c in COMPUTE_OPS)]
+    # On async-lowering backends (TPU) each collective appears as a
+    # <op>-start / <op>-done pair; count the pair ONCE via its -start half
+    # (the -done op's dependency closure differs, and double-counting skews
+    # min_frac/mean_frac — ADVICE r4). Sync-form collectives (CPU) have no
+    # suffix and pass through unchanged.
     colls = [n for n, op in ops.items()
-             if any(op.startswith(c) for c in COLLECTIVE_OPS)]
+             if any(op.startswith(c) for c in COLLECTIVE_OPS)
+             and not op.endswith("-done")]
     # async pairs appear as <op>-start / <op>-done instruction names
     async_pairs = sum(
         1 for n, op in ops.items()

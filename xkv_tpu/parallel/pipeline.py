@@ -148,12 +148,32 @@ def pipelined_forward(
 
 
 # ------------------------------------------------------------- decode PP
-def _check_uniform_groups(xkv, cfg: ModelConfig, n_stages: int):
+def _check_uniform_groups(xkv, cfg: ModelConfig, n_stages: int, cache=None):
     """Decode PP requires the flagship layout: consecutive equal SVD groups
     with both sides merged, rope_mode='post' (rank-space decode — no trig
-    in the stage body), and group boundaries aligned to stage boundaries."""
+    in the stage body), and group boundaries aligned to stage boundaries.
+
+    This is a direct-call API (not engine-routed), so the support matrix is
+    enforced HERE (ADVICE r4): a cache carrying mixed-int4 panels, Quest
+    bounds, or compact-slerp storage — or a sliding-window model config —
+    would silently decode with wrong logits (dropped int4 tail ranks /
+    missing window mask) if allowed through.
+    """
     if xkv is None or xkv.rope_mode != "post":
         raise ValueError("pipelined_decode_step requires rope_mode='post'")
+    if cfg.sliding_window is not None:
+        raise ValueError(
+            "pipelined_decode_step does not apply the sliding-window mask; "
+            "sliding_window configs are unsupported"
+        )
+    for gi, gf in enumerate(getattr(cache, "groups", ()) or ()):
+        for f in ("k_us4", "v_us4", "k_cmin", "slerp_k", "slerp_v"):
+            if getattr(gf, f, None) is not None:
+                raise ValueError(
+                    f"pipelined_decode_step: cache group {gi} has {f} set — "
+                    "mixed int8+int4 factors, Quest sparse bounds, and "
+                    "compact-slerp storage are unsupported in decode PP"
+                )
     groups = xkv.layer_groups
     if not groups:
         raise ValueError("no layer groups")
@@ -200,8 +220,10 @@ def pipelined_decode_step(
     overlap — steady-state bubble fraction (P-1)/(P+M-1). Attention runs
     the rank-space XLA path (`ops/attention.rankspace_decode_attention_xla`
     — post-RoPE factors need no trig, which keeps the stage body free of
-    position tables). int8 factors supported; sparse/window/mixed4/slerp
-    configs are engine-gated out.
+    position tables). int8 factors supported; sparse/window/mixed-int4/slerp
+    configs raise ValueError in ``_check_uniform_groups`` (this is a
+    direct-call API, so the support matrix is enforced here, not by the
+    engine).
 
     Returns (logits (b, 1, V) fp32, cache with tail advanced) — bit-parity
     with ``models/llama.decode_step`` on the same inputs.
@@ -215,7 +237,7 @@ def pipelined_decode_step(
     from xkv_tpu.cache import vt_layer_slice
 
     n_stages = mesh.shape[axis_name]
-    g = _check_uniform_groups(xkv, cfg, n_stages)
+    g = _check_uniform_groups(xkv, cfg, n_stages, cache=cache)
     b, ql = tokens.shape
     if ql != 1:
         raise ValueError("pipelined_decode_step is single-token")
