@@ -427,3 +427,99 @@ def test_sliding_window_perplexity_matches_manual(params):
     np.testing.assert_allclose(
         one_win["perplexity"], whole["perplexity"], rtol=1e-6
     )
+
+
+# ------------------------------------------------------------ staged prefill
+def _staged_pair(params, xkv, **kw):
+    mono = make_engine(params, "factored", xkv, prefill_logits="last", **kw)
+    staged = make_engine(params, "factored", xkv, prefill_logits="last",
+                         staged_prefill=True, **kw)
+    return mono, staged
+
+
+@pytest.mark.parametrize("rope_mode", ["pre", "post"])
+def test_staged_prefill_matches_monolithic(params, prompt, rope_mode):
+    """Per-group staged prefill (depth-scaling path, VERDICT r4 #3) must
+    reproduce the monolithic prefill: same logits, same cache, same decode
+    trajectory — it runs the SAME `_prefill_layer` body and
+    `compress_svd_group`, just one jit per group."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1,
+        group_size=2, rank_k=16, rank_v=20,
+        extra_kwargs={"svd_method": "exact", "rope_mode": rope_mode},
+    )
+    mono, staged = _staged_pair(params, xkv)
+
+    lm, cm = mono.prefill(prompt)
+    ls, cs = staged.prefill(prompt)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(ls),
+                               rtol=1e-4, atol=1e-4)
+    assert len(cm.groups) == len(cs.groups)
+    for gm, gs in zip(cm.groups, cs.groups):
+        for f in ("k_us", "k_vt", "v_us", "v_vt"):
+            am, as_ = getattr(gm, f), getattr(gs, f)
+            assert (am is None) == (as_ is None)
+            if am is not None:
+                np.testing.assert_allclose(
+                    np.asarray(am), np.asarray(as_), rtol=1e-3, atol=1e-3
+                )
+
+    tok = jnp.argmax(lm[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    pos = jnp.asarray(prompt.shape[1], jnp.int32)
+    for _ in range(3):
+        dm, cm = mono.decode_step(cm, tok, pos)
+        ds, cs = staged.decode_step(cs, tok, pos)
+        np.testing.assert_allclose(np.asarray(dm), np.asarray(ds),
+                                   rtol=2e-3, atol=2e-3)
+        tok = jnp.argmax(dm[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        pos = pos + 1
+
+
+def test_staged_prefill_int8_and_sparse_bounds(params, prompt):
+    """int8 factors + Quest chunk bounds flow through the staged path."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=CFG.num_layers - 1,
+        group_size=2, rank_k=16, rank_v=20,
+        extra_kwargs={"svd_method": "exact", "rope_mode": "post"},
+    )
+    mono, staged = _staged_pair(
+        params, xkv, factor_dtype="int8", sparse_topk=2, sparse_block=8,
+    )
+    lm, cm = mono.prefill(prompt)
+    ls, cs = staged.prefill(prompt)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(ls),
+                               rtol=1e-4, atol=1e-4)
+    for gm, gs in zip(cm.groups, cs.groups):
+        assert gm.k_us.dtype == gs.k_us.dtype == jnp.int8
+        assert gs.k_cmin is not None and gs.k_cmax is not None
+        np.testing.assert_allclose(
+            np.asarray(gm.k_cmin), np.asarray(gs.k_cmin),
+            rtol=1e-3, atol=1e-3,
+        )
+
+
+def test_staged_prefill_partial_coverage(params, prompt):
+    """Ungrouped (dense) layers interleave correctly with grouped spans."""
+    xkv = generate_consecutive_xkv_config(
+        num_layers=CFG.num_layers, end_layer=1, group_size=2,
+        rank_k=16, rank_v=20, extra_kwargs={"svd_method": "exact"},
+    )
+    mono, staged = _staged_pair(params, xkv)
+    lm, cm = mono.prefill(prompt)
+    ls, cs = staged.prefill(prompt)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(ls),
+                               rtol=1e-4, atol=1e-4)
+    assert sorted(cs.dense_k) == sorted(cm.dense_k)
+    for l in cm.dense_k:
+        np.testing.assert_allclose(
+            np.asarray(cm.dense_k[l]), np.asarray(cs.dense_k[l]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_staged_prefill_rejects_unsupported(params):
+    with pytest.raises(ValueError):
+        make_engine(params, "none", staged_prefill=True)
+    with pytest.raises(ValueError):
+        make_engine(params, "factored", xkv_cfg(), staged_prefill=True,
+                    prefill_logits="all")

@@ -156,6 +156,174 @@ def chunk_bounds(
     return jnp.moveaxis(kmin, 0, 1), jnp.moveaxis(kmax, 0, 1)
 
 
+def compress_svd_group(
+    ks: List[jax.Array],
+    vs: List[jax.Array],
+    grp,
+    xkv: XKVConfig,
+    cfg: ModelConfig,
+    cos_p: jax.Array,
+    sin_p: jax.Array,
+    fake: bool = False,
+    factor_dtype=jnp.bfloat16,
+    cache_dtype=jnp.bfloat16,
+    rope_dense_keys: bool = True,
+    sparse_block: Optional[int] = None,
+) -> Tuple[GroupFactors, Dict[int, jax.Array], Dict[int, jax.Array]]:
+    """Compress ONE svd layer group's K/V into its GroupFactors.
+
+    The per-group body of ``build_cache`` (same semantics, reference
+    `fake_layer_merge_dynamic_cache.py:155-208`), exposed so the staged
+    prefill can compress each group as its layers complete — one jit per
+    group shape instead of one mega-graph holding every layer's dense K/V
+    (the 12-layer 64K monolith OOMs a 16 GB chip at compile).
+
+    ks/vs: per layer of the group, each (b, hkv, s, hd), keys PRE-RoPE.
+    Returns (GroupFactors, dense_k, dense_v) — the dense dicts (keyed by
+    ``grp.layers``) carry the unmerged side(s).
+    """
+    svd_kw = dict(
+        method=xkv.svd_method,
+        oversample=xkv.svd_oversample,
+        n_iter=xkv.svd_iters,
+        seed=xkv.svd_seed,
+    )
+    hkv = cfg.num_kv_heads
+    layers = grp.layers
+    dense_k: Dict[int, jax.Array] = {}
+    dense_v: Dict[int, jax.Array] = {}
+
+    def rope_dense_k(k_pre):
+        if not rope_dense_keys:
+            return k_pre.astype(cache_dtype)
+        return apply_rope(k_pre, cos_p[None], sin_p[None]).astype(cache_dtype)
+
+    rope_post = xkv.rope_mode == "post" and rope_dense_keys
+    quantize = factor_dtype in ("int8", jnp.int8)
+    mixed4 = factor_dtype == "int4"
+    if mixed4 and not rope_post and rope_dense_keys:
+        raise ValueError(
+            "factor_dtype='int4' (mixed int8+int4) requires "
+            "rope_mode='post' (the rank-space decode path); MLA "
+            "latents are RoPE-free and compose directly"
+        )
+
+    def _r_hi(rank):
+        return int4_rank_hi(rank, xkv.int4_rank_frac)
+
+    gf_kwargs = {}
+    if xkv.merge_key:
+        if rope_post:
+            ks = [apply_rope(k, cos_p[None], sin_p[None]) for k in ks]
+        k_mat = _stack_group_matrix(ks)  # (b, s, g*hkv*hd) — fp32 in factorize
+        fac_k = factorize(k_mat, grp.rank_k, **svd_kw)
+        if fake:
+            k_rec = _split_group_matrix(
+                reconstruct(fac_k).astype(k_mat.dtype), len(layers), hkv
+            )
+            for l, kr in zip(layers, k_rec):
+                # Post mode: the reconstruction is already rotated.
+                dense_k[l] = (
+                    kr.astype(cache_dtype) if rope_post
+                    else rope_dense_k(kr)
+                )
+        elif mixed4:
+            from xkv_tpu.compress.quant import quantize_k_factors_mixed4
+
+            qk4 = quantize_k_factors_mixed4(
+                fac_k.us, fac_k.vt, _r_hi(grp.rank_k)
+            )
+            gf_kwargs.update(
+                k_us=qk4.us8, k_us4=qk4.us4p, k_vt=qk4.vt8,
+                k_vt4=qk4.vt4, k_scale=qk4.out_scale,
+                k_scale4=qk4.scale4,
+            )
+            if not rope_dense_keys:
+                # MLA: per-row inv-rms of the DEQUANTIZED latent
+                # the absorbed decode will contract against.
+                from xkv_tpu.compress.quant import dequantize_k_mixed4
+
+                gf_kwargs["k_rnorm"] = latent_rnorm(
+                    dequantize_k_mixed4(qk4), len(layers)
+                )
+        elif quantize:
+            from xkv_tpu.compress.quant import (
+                dequantize_k,
+                quantize_k_factors,
+            )
+
+            qk = quantize_k_factors(fac_k.us, fac_k.vt)
+            gf_kwargs["k_us"] = qk.us_q
+            gf_kwargs["k_vt"] = qk.vt_q
+            gf_kwargs["k_scale"] = qk.out_scale
+            if not rope_dense_keys:
+                # MLA: rank-space decode needs the per-row inv-rms
+                # of the latent decode will reconstruct — i.e. the
+                # DEQUANTIZED one.
+                gf_kwargs["k_rnorm"] = latent_rnorm(
+                    dequantize_k(qk), len(layers)
+                )
+        else:
+            gf_kwargs["k_us"] = fac_k.us.astype(factor_dtype)
+            gf_kwargs["k_vt"] = fac_k.vt.astype(factor_dtype)
+            if not rope_dense_keys:
+                rec = reconstruct(
+                    LowRankFactors(
+                        gf_kwargs["k_us"].astype(jnp.float32),
+                        gf_kwargs["k_vt"].astype(jnp.float32),
+                    )
+                )
+                gf_kwargs["k_rnorm"] = latent_rnorm(rec, len(layers))
+        if sparse_block is not None and not fake:
+            # Bounds from the EXACT prefill keys (tighter than from
+            # the lossy reconstruction; selection is approximate
+            # either way). Cast to cache_dtype: K-domain data.
+            cmin, cmax = chunk_bounds(
+                k_mat,
+                cos_p if rope_dense_keys and not rope_post else None,
+                sin_p,
+                sparse_block, len(layers) * hkv,
+            )
+            gf_kwargs["k_cmin"] = cmin.astype(cache_dtype)
+            gf_kwargs["k_cmax"] = cmax.astype(cache_dtype)
+    else:
+        for l, k in zip(layers, ks):
+            dense_k[l] = rope_dense_k(k)
+    if xkv.merge_value:
+        v_mat = _stack_group_matrix(vs)
+        fac_v = factorize(v_mat, grp.rank_v, **svd_kw)
+        if fake:
+            v_rec = _split_group_matrix(
+                reconstruct(fac_v).astype(v_mat.dtype), len(layers), hkv
+            )
+            for l, vr in zip(layers, v_rec):
+                dense_v[l] = vr.astype(cache_dtype)
+        elif mixed4:
+            from xkv_tpu.compress.quant import quantize_v_factors_mixed4
+
+            qv4 = quantize_v_factors_mixed4(
+                fac_v.us, fac_v.vt, _r_hi(grp.rank_v)
+            )
+            gf_kwargs.update(
+                v_us=qv4.us8, v_us4=qv4.us4p,
+                v_scale=qv4.rank_scale, v_vt=qv4.vt,
+            )
+        elif quantize:
+            from xkv_tpu.compress.quant import quantize_v_factors
+
+            qv = quantize_v_factors(fac_v.us, fac_v.vt)
+            gf_kwargs["v_us"] = qv.us_q
+            gf_kwargs["v_vt"] = qv.vt
+            gf_kwargs["v_scale"] = qv.rank_scale
+        else:
+            gf_kwargs["v_us"] = fac_v.us.astype(factor_dtype)
+            gf_kwargs["v_vt"] = fac_v.vt.astype(factor_dtype)
+    else:
+        for l, v in zip(layers, vs):
+            dense_v[l] = v.astype(cache_dtype)
+    return GroupFactors(**gf_kwargs), dense_k, dense_v
+
+
 def build_cache(
     kvs: List[Tuple[jax.Array, jax.Array]],
     xkv: XKVConfig,
@@ -218,135 +386,15 @@ def build_cache(
         vs = [kvs[l][1] for l in layers]
 
         if xkv.layer_merge_impl == "svd":
-            quantize = factor_dtype in ("int8", jnp.int8)
-            mixed4 = factor_dtype == "int4"
-            if mixed4 and not rope_post and rope_dense_keys:
-                raise ValueError(
-                    "factor_dtype='int4' (mixed int8+int4) requires "
-                    "rope_mode='post' (the rank-space decode path); MLA "
-                    "latents are RoPE-free and compose directly"
-                )
-
-            def _r_hi(rank):
-                return int4_rank_hi(rank, xkv.int4_rank_frac)
-
-            gf_kwargs = {}
-            if xkv.merge_key:
-                if rope_post:
-                    ks = [apply_rope(k, cos_p[None], sin_p[None]) for k in ks]
-                k_mat = _stack_group_matrix(ks)  # (b, s, g*hkv*hd) — fp32 in factorize
-                fac_k = factorize(k_mat, grp.rank_k, **svd_kw)
-                if fake:
-                    k_rec = _split_group_matrix(
-                        reconstruct(fac_k).astype(k_mat.dtype), len(layers), hkv
-                    )
-                    for l, kr in zip(layers, k_rec):
-                        # Post mode: the reconstruction is already rotated.
-                        dense_k[l] = (
-                            kr.astype(cache_dtype) if rope_post
-                            else rope_dense_k(kr)
-                        )
-                elif mixed4:
-                    from xkv_tpu.compress.quant import (
-                        quantize_k_factors_mixed4,
-                    )
-
-                    qk4 = quantize_k_factors_mixed4(
-                        fac_k.us, fac_k.vt, _r_hi(grp.rank_k)
-                    )
-                    gf_kwargs.update(
-                        k_us=qk4.us8, k_us4=qk4.us4p, k_vt=qk4.vt8,
-                        k_vt4=qk4.vt4, k_scale=qk4.out_scale,
-                        k_scale4=qk4.scale4,
-                    )
-                    if not rope_dense_keys:
-                        # MLA: per-row inv-rms of the DEQUANTIZED latent
-                        # the absorbed decode will contract against.
-                        from xkv_tpu.compress.quant import (
-                            dequantize_k_mixed4,
-                        )
-
-                        gf_kwargs["k_rnorm"] = latent_rnorm(
-                            dequantize_k_mixed4(qk4), len(layers)
-                        )
-                elif quantize:
-                    from xkv_tpu.compress.quant import (
-                        dequantize_k,
-                        quantize_k_factors,
-                    )
-
-                    qk = quantize_k_factors(fac_k.us, fac_k.vt)
-                    gf_kwargs["k_us"] = qk.us_q
-                    gf_kwargs["k_vt"] = qk.vt_q
-                    gf_kwargs["k_scale"] = qk.out_scale
-                    if not rope_dense_keys:
-                        # MLA: rank-space decode needs the per-row inv-rms
-                        # of the latent decode will reconstruct — i.e. the
-                        # DEQUANTIZED one.
-                        gf_kwargs["k_rnorm"] = latent_rnorm(
-                            dequantize_k(qk), len(layers)
-                        )
-                else:
-                    gf_kwargs["k_us"] = fac_k.us.astype(factor_dtype)
-                    gf_kwargs["k_vt"] = fac_k.vt.astype(factor_dtype)
-                    if not rope_dense_keys:
-                        rec = reconstruct(
-                            LowRankFactors(
-                                gf_kwargs["k_us"].astype(jnp.float32),
-                                gf_kwargs["k_vt"].astype(jnp.float32),
-                            )
-                        )
-                        gf_kwargs["k_rnorm"] = latent_rnorm(rec, len(layers))
-                if sparse_block is not None and not fake:
-                    # Bounds from the EXACT prefill keys (tighter than from
-                    # the lossy reconstruction; selection is approximate
-                    # either way). Cast to cache_dtype: K-domain data.
-                    cmin, cmax = chunk_bounds(
-                        k_mat,
-                        cos_p if rope_dense_keys and not rope_post else None,
-                        sin_p,
-                        sparse_block, len(layers) * hkv,
-                    )
-                    gf_kwargs["k_cmin"] = cmin.astype(cache_dtype)
-                    gf_kwargs["k_cmax"] = cmax.astype(cache_dtype)
-            else:
-                for l, k in zip(layers, ks):
-                    dense_k[l] = rope_dense_k(k)
-            if xkv.merge_value:
-                v_mat = _stack_group_matrix(vs)
-                fac_v = factorize(v_mat, grp.rank_v, **svd_kw)
-                if fake:
-                    v_rec = _split_group_matrix(
-                        reconstruct(fac_v).astype(v_mat.dtype), len(layers), hkv
-                    )
-                    for l, vr in zip(layers, v_rec):
-                        dense_v[l] = vr.astype(cache_dtype)
-                elif mixed4:
-                    from xkv_tpu.compress.quant import (
-                        quantize_v_factors_mixed4,
-                    )
-
-                    qv4 = quantize_v_factors_mixed4(
-                        fac_v.us, fac_v.vt, _r_hi(grp.rank_v)
-                    )
-                    gf_kwargs.update(
-                        v_us=qv4.us8, v_us4=qv4.us4p,
-                        v_scale=qv4.rank_scale, v_vt=qv4.vt,
-                    )
-                elif quantize:
-                    from xkv_tpu.compress.quant import quantize_v_factors
-
-                    qv = quantize_v_factors(fac_v.us, fac_v.vt)
-                    gf_kwargs["v_us"] = qv.us_q
-                    gf_kwargs["v_vt"] = qv.vt
-                    gf_kwargs["v_scale"] = qv.rank_scale
-                else:
-                    gf_kwargs["v_us"] = fac_v.us.astype(factor_dtype)
-                    gf_kwargs["v_vt"] = fac_v.vt.astype(factor_dtype)
-            else:
-                for l, v in zip(layers, vs):
-                    dense_v[l] = v.astype(cache_dtype)
-            groups.append(GroupFactors(**gf_kwargs))
+            gf, dk, dv = compress_svd_group(
+                ks, vs, grp, xkv, cfg, cos_p, sin_p,
+                fake=fake, factor_dtype=factor_dtype,
+                cache_dtype=cache_dtype, rope_dense_keys=rope_dense_keys,
+                sparse_block=sparse_block,
+            )
+            dense_k.update(dk)
+            dense_v.update(dv)
+            groups.append(gf)
 
         elif xkv.layer_merge_impl == "slerp":
             # MiniCache merge (reference semantics). Storage: dense by

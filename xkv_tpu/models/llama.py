@@ -123,6 +123,97 @@ def unembed(params: Params, cfg: ModelConfig, h: jax.Array) -> jax.Array:
 
 
 # ----------------------------------------------------------------- prefill
+def _prefill_layer(
+    layer: Params,
+    cfg: ModelConfig,
+    h: jax.Array,  # (b, s, d)
+    cos: jax.Array,
+    sin: jax.Array,
+    scale: float,
+    attention_impl: str,
+    mesh=None,
+    sequence_parallel: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One decoder layer of the causal prefill forward.
+
+    Returns (h', k_pre_rope, v). Shared by the monolithic ``prefill`` and
+    the staged per-group path (``prefill_layer_span``) so both are
+    numerics-identical by construction.
+    """
+    b, s = h.shape[0], h.shape[1]
+    resid = h
+    x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
+    q, k_pre, v = qkv_proj(layer["attn"], cfg, x)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k_pre, cos, sin)
+    if sequence_parallel:
+        from xkv_tpu.ops.ring_attention import ring_attention
+
+        attn = ring_attention(
+            q, k, v, mesh=mesh, axis_name="data", scale=scale,
+            causal=True, window=cfg.sliding_window,
+        )
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
+    elif attention_impl == "pallas":
+        if mesh is not None:
+            from xkv_tpu.ops.pallas.flash_attention import flash_attention_tp
+
+            attn = flash_attention_tp(
+                mesh, q, k, v, scale=scale, causal=True,
+                window=cfg.sliding_window,
+            )  # (b, s, hq, hd), head-sharded
+        else:
+            from xkv_tpu.ops.pallas.flash_attention import flash_attention_fwd
+
+            attn = flash_attention_fwd(
+                q, k, v, scale=scale, causal=True, window=cfg.sliding_window
+            )  # (b, s, hq, hd)
+        attn = attn.reshape(b, s, -1)
+    elif s > 2048:
+        # Blockwise XLA attention: never materializes (s, s) scores.
+        from xkv_tpu.ops.attention import blockwise_causal_attention
+
+        attn = blockwise_causal_attention(
+            q, k, v, scale, window=cfg.sliding_window
+        )
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
+    else:
+        attn = mha_reference(q, k, v, scale, causal=True, window=cfg.sliding_window)
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
+    h = resid + attn @ layer["attn"]["wo"]
+    h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
+    return h, k_pre, v
+
+
+def prefill_layer_span(
+    layers: List[Params],
+    cfg: ModelConfig,
+    h: jax.Array,  # (b, s, d) activations entering the span
+    cos: jax.Array,
+    sin: jax.Array,
+    attention_impl: str = "xla",
+) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+    """A contiguous span of decoder layers of the prefill forward.
+
+    The staged prefill (engine ``staged_prefill=True``) runs the model one
+    SVD group at a time — each span's dense K/V is compressed and freed
+    before the next span runs, so peak HBM holds ONE group's K/V instead
+    of every layer's (the monolithic 12-layer graph at 64K carries 10.6 GB
+    of K/V temps and OOMs a 16 GB chip at compile; see docs/DESIGN.md).
+    One compiled span serves every group of the same size.
+
+    Returns (h', [(k_pre_rope, v)] per layer).
+    """
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    kvs = []
+    for layer in layers:
+        h, k_pre, v = _prefill_layer(
+            layer, cfg, h, cos, sin, scale, attention_impl
+        )
+        kvs.append((k_pre, v))
+    return h, kvs
+
+
 def prefill(
     params: Params,
     cfg: ModelConfig,
@@ -178,46 +269,11 @@ def prefill(
         h = seq_sharded(h, sp_spec)
     kvs: List[Tuple[jax.Array, jax.Array]] = []
     for layer in params["layers"]:
-        resid = h
-        x = rms_norm(h, layer["input_norm"], cfg.rms_norm_eps)
-        q, k_pre, v = qkv_proj(layer["attn"], cfg, x)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k_pre, cos, sin)
+        h, k_pre, v = _prefill_layer(
+            layer, cfg, h, cos, sin, scale, attention_impl,
+            mesh=mesh, sequence_parallel=sequence_parallel,
+        )
         kvs.append((k_pre, v))
-        if sequence_parallel:
-            attn = ring_attention(
-                q, k, v, mesh=mesh, axis_name="data", scale=scale,
-                causal=True, window=cfg.sliding_window,
-            )
-            attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
-        elif attention_impl == "pallas":
-            if mesh is not None:
-                from xkv_tpu.ops.pallas.flash_attention import flash_attention_tp
-
-                attn = flash_attention_tp(
-                    mesh, q, k, v, scale=scale, causal=True,
-                    window=cfg.sliding_window,
-                )  # (b, s, hq, hd), head-sharded
-            else:
-                from xkv_tpu.ops.pallas.flash_attention import flash_attention_fwd
-
-                attn = flash_attention_fwd(
-                    q, k, v, scale=scale, causal=True, window=cfg.sliding_window
-                )  # (b, s, hq, hd)
-            attn = attn.reshape(b, s, -1)
-        elif s > 2048:
-            # Blockwise XLA attention: never materializes (s, s) scores.
-            from xkv_tpu.ops.attention import blockwise_causal_attention
-
-            attn = blockwise_causal_attention(
-                q, k, v, scale, window=cfg.sliding_window
-            )
-            attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
-        else:
-            attn = mha_reference(q, k, v, scale, causal=True, window=cfg.sliding_window)
-            attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, -1)
-        h = resid + attn @ layer["attn"]["wo"]
-        h = h + mlp(layer["mlp"], rms_norm(h, layer["post_norm"], cfg.rms_norm_eps))
     if logits_position is not None:
         h = jax.lax.dynamic_slice_in_dim(h, logits_position, 1, axis=1)
     logits = unembed(params, cfg, h)
