@@ -595,14 +595,98 @@ def _mla_rankspace_kernel(
         lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
+def _mla_rankspace_mixed_kernel(
+    q_emb_ref,  # (1, R, rk_hi + r_lo) — [hi | lo-eo] columns, folds+scale
+    q_pe_ref,  # (1, R, rope)
+    len_ref,  # (b, 1) int32 SMEM
+    k_us8_ref,  # (1, block_s, rk_hi) int8
+    k_us4_ref,  # (1, block_s, r_lo/2) int8 packed nibbles
+    k_pe_ref,  # (1, block_s, rope)
+    r_ref,  # (1, 1, block_s) fp32
+    t_ref,  # (1, R, rk_hi + r_lo) out — [hi | lo-eo] rank order
+    lse_ref,
+    m_scratch,
+    l_scratch,
+    t_scratch,
+    *,
+    block_s: int,
+):
+    """Mixed int8+int4 MLA variant (VERDICT r4 #4): unpack the packed int4
+    tail nibbles in VMEM (two shifts + a lane concat, same as the llama
+    mixed kernel), then ONE score GEMM over [hi | lo] rank columns and the
+    pe GEMM — int4 x MLA stops paying the XLA fp32-upcast path (measured
+    353 vs 1689 tok/s) and streams the latent factors 1.6x smaller."""
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        t_scratch[...] = jnp.zeros_like(t_scratch)
+
+    compute_dtype = q_emb_ref.dtype
+    us_all = jnp.concatenate(
+        [
+            k_us8_ref[0].astype(compute_dtype),
+            _unpack_nibbles(k_us4_ref[0], compute_dtype),
+        ],
+        axis=1,
+    )  # (block_s, rk_hi + r_lo) — [hi | evens | odds], matching q_emb
+    rr = r_ref[0].astype(jnp.float32)  # (1, block_s)
+
+    s_nope = jax.lax.dot_general(
+        q_emb_ref[0], us_all,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, block_s)
+    s_pe = jax.lax.dot_general(
+        q_pe_ref[0], k_pe_ref[0].astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s_nope * rr + s_pe
+    col_mask = (
+        si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+    ) < len_ref[bi, 0]
+    s = jnp.where(col_mask, s, NEG_INF)
+
+    m_prev = m_scratch[...][:, :1]
+    l_prev = l_scratch[...][:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.where(col_mask, jnp.exp(s - m_next), 0.0)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+    t_curr = jnp.dot(
+        (p * rr).astype(compute_dtype), us_all,
+        preferred_element_type=jnp.float32,
+    )  # (R, rk_hi + r_lo)
+    t_scratch[...] = t_scratch[...] * alpha + t_curr
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _store():
+        m_fin = m_scratch[...][:, :1]
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        t_ref[0] = (t_scratch[...] * l_inv).astype(t_ref.dtype)
+        lse = (m_fin + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def mla_rankspace_decode_attention(
-    q_emb: jax.Array,  # (b, nh, ql, rk) absorbed rank-space query (folded)
+    q_emb: jax.Array,  # (b, nh, ql, rk) absorbed rank-space query (folded);
+                       # with k_us4: (b, nh, ql, rk_hi + r_lo), [hi | lo-eo]
     q_pe: jax.Array,  # (b, nh, ql, rope) rotated pe query (scale folded)
-    k_us: jax.Array,  # (b, s_p, rk) latent factors
+    k_us: jax.Array,  # (b, s_p, rk) latent factors (int8 hi ranks if mixed)
     k_pe: jax.Array,  # (b, s_p, rope) dense rotated pe keys
     r: jax.Array,  # (b, s_p) fp32 latent inverse rms
     lengths: Optional[jax.Array] = None,
+    k_us4: Optional[jax.Array] = None,  # (b, s_p, r_lo/2) packed int4 tail
     *,
     block_s: int = 2048,
     interpret: Optional[bool] = None,
@@ -611,22 +695,34 @@ def mla_rankspace_decode_attention(
     keys (one online softmax; latent never reconstructed — the per-row
     norm r and per-column folds come precomputed, models/deepseek.py).
 
-    Returns (t (b, nh, ql, rk) — segment-normalized rank-space values —
+    With ``k_us4`` the mixed int8+int4 kernel runs: ``q_emb`` must carry
+    the concatenated [hi | lo-eo] rank columns (each half folded through
+    its own vt/scale) and the returned ``t`` is in the same rank order —
+    the caller projects the hi/lo halves through k_vt / k_vt4 separately.
+
+    Returns (t (b, nh, ql, rk_tot) — segment-normalized rank-space values —
     and lse (b, nh, ql)); the caller projects through vt/w and merges
     with the dense tail partial in latent space.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, nh, ql, rk = q_emb.shape
+    b, nh, ql, rk_q = q_emb.shape
     rope = q_pe.shape[3]
     s_p = k_us.shape[1]
+    rk = k_us.shape[2]
     R = ql * nh
+    mixed = k_us4 is not None
+    if mixed:
+        assert rk_q == rk + 2 * k_us4.shape[2], (
+            "mixed MLA kernel: q_emb must carry [hi | lo-eo] rank columns"
+        )
 
     compute_dtype = (
-        jnp.float32 if k_us.dtype == jnp.float32 else jnp.bfloat16
+        jnp.float32 if k_us.dtype == jnp.float32 and not mixed
+        else jnp.bfloat16
     )
     # rows ordered (ql, nh) like the llama kernel
-    qe = jnp.transpose(q_emb, (0, 2, 1, 3)).reshape(b, R, rk)
+    qe = jnp.transpose(q_emb, (0, 2, 1, 3)).reshape(b, R, rk_q)
     qp = jnp.transpose(q_pe, (0, 2, 1, 3)).reshape(b, R, rope)
     qe = qe.astype(compute_dtype)
     qp = qp.astype(compute_dtype)
@@ -637,6 +733,8 @@ def mla_rankspace_decode_attention(
         k_us = jnp.pad(k_us, ((0, 0), (0, s_pad - s_p), (0, 0)))
         k_pe = jnp.pad(k_pe, ((0, 0), (0, s_pad - s_p), (0, 0)))
         r = jnp.pad(r, ((0, 0), (0, s_pad - s_p)))
+        if mixed:
+            k_us4 = jnp.pad(k_us4, ((0, 0), (0, s_pad - s_p), (0, 0)))
     r3 = r.astype(jnp.float32)[:, None, :]  # (b, 1, s_pad)
     grid_s = s_pad // block_s
 
@@ -644,39 +742,69 @@ def mla_rankspace_decode_attention(
         lengths = jnp.full((b,), s_p, jnp.int32)
     lengths = lengths.reshape(b, 1).astype(jnp.int32)
 
-    kernel = functools.partial(_mla_rankspace_kernel, block_s=block_s)
-    t, lse = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, R, rk), jnp.float32),
-            jax.ShapeDtypeStruct((b, 8, R), jnp.float32),
-        ),
-        grid=(b, grid_s),
-        in_specs=[
-            pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((1, R, rope), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((b, 1), lambda bi, si: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
-            pl.BlockSpec((1, block_s, rope), lambda bi, si: (bi, si, 0)),
-            pl.BlockSpec((1, 1, block_s), lambda bi, si: (bi, 0, si)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, R, rk), lambda bi, si: (bi, 0, 0)),
-            pl.BlockSpec((1, 8, R), lambda bi, si: (bi, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.VMEM((R, rk), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(qe, qp, lengths, k_us, k_pe, r3)
+    out_shape = (
+        jax.ShapeDtypeStruct((b, R, rk_q), jnp.float32),
+        jax.ShapeDtypeStruct((b, 8, R), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, R, rk_q), lambda bi, si: (bi, 0, 0)),
+        pl.BlockSpec((1, 8, R), lambda bi, si: (bi, 0, 0)),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((R, 128), jnp.float32),
+        pltpu.VMEM((R, 128), jnp.float32),
+        pltpu.VMEM((R, rk_q), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    if mixed:
+        kernel = functools.partial(
+            _mla_rankspace_mixed_kernel, block_s=block_s
+        )
+        t, lse = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(b, grid_s),
+            in_specs=[
+                pl.BlockSpec((1, R, rk_q), lambda bi, si: (bi, 0, 0)),
+                pl.BlockSpec((1, R, rope), lambda bi, si: (bi, 0, 0)),
+                pl.BlockSpec((b, 1), lambda bi, si: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, block_s, k_us4.shape[2]),
+                             lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, block_s, rope), lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, 1, block_s), lambda bi, si: (bi, 0, si)),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(qe, qp, lengths, k_us, k_us4, k_pe, r3)
+    else:
+        kernel = functools.partial(_mla_rankspace_kernel, block_s=block_s)
+        t, lse = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(b, grid_s),
+            in_specs=[
+                pl.BlockSpec((1, R, rk_q), lambda bi, si: (bi, 0, 0)),
+                pl.BlockSpec((1, R, rope), lambda bi, si: (bi, 0, 0)),
+                pl.BlockSpec((b, 1), lambda bi, si: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_s, rk), lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, block_s, rope), lambda bi, si: (bi, si, 0)),
+                pl.BlockSpec((1, 1, block_s), lambda bi, si: (bi, 0, si)),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(qe, qp, lengths, k_us, k_pe, r3)
 
-    t = jnp.transpose(t.reshape(b, ql, nh, rk), (0, 2, 1, 3))
+    t = jnp.transpose(t.reshape(b, ql, nh, rk_q), (0, 2, 1, 3))
     lse = jnp.transpose(lse[:, 0, :].reshape(b, ql, nh), (0, 2, 1))
     return t, lse
 
