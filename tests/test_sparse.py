@@ -408,3 +408,39 @@ def test_sparse_layers_mixing(params):
     np.testing.assert_array_equal(
         np.asarray(eng_mix.generate(prompt, max_new_tokens=6)), exact
     )
+
+
+# ---------------------------------------------------------- sparse probe
+def test_probe_sparse_layers_mechanics(params):
+    """The automated sparse-layer probe (VERDICT r4 #9): returns a valid
+    recommendation, full-coverage selection probes as already-agreeing
+    (recommended = all layers sparse), and the leave-one-out gains cover
+    every layer when the all-sparse config disagrees."""
+    from xkv_tpu.evalharness.sparse_probe import probe_sparse_layers
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=(1, 48)).astype(np.int32)
+        for _ in range(2)
+    ]
+    kw = dict(cache_dtype=jnp.float32, factor_dtype=jnp.float32)
+
+    # full coverage (n_select >= n_chunks): sparse == exact, so the probe
+    # must recommend everything stays sparse without running the sweep
+    rep = probe_sparse_layers(
+        params, CFG, xkv_cfg(), prompts, sparse_topk=64, sparse_block=8,
+        gen_len=4, threshold=0.99, engine_kwargs=kw,
+    )
+    assert rep["recommended_sparse_layers"] == list(range(CFG.num_layers))
+    assert rep["agreement_all_sparse"] >= 0.99
+
+    # tight budget: if agreement < threshold the sweep runs; whatever it
+    # recommends must be a subset of layers and improve-or-match agreement
+    rep2 = probe_sparse_layers(
+        params, CFG, xkv_cfg(), prompts, sparse_topk=1, sparse_block=8,
+        gen_len=4, threshold=1.0, engine_kwargs=kw,
+    )
+    assert set(rep2["recommended_sparse_layers"]) <= set(range(CFG.num_layers))
+    assert rep2["agreement_final"] >= rep2["agreement_all_sparse"] - 1e-9
+    if rep2["agreement_all_sparse"] < 1.0:
+        assert len(rep2["per_layer_gain"]) == CFG.num_layers

@@ -43,6 +43,14 @@ def main(argv=None):
     parser.add_argument("--rank", type=int, default=0)
     parser.add_argument("--world_size", type=int, default=1)
     parser.add_argument("--gen_len", type=int, default=None)
+    parser.add_argument("--probe_sparse_layers", action="store_true",
+                        help="instead of evaluating: run the automated "
+                        "sparse-layer probe (leave-one-out agreement sweep, "
+                        "evalharness/sparse_probe.py) on the first "
+                        "--num_samples prompts of the first dataset and "
+                        "print the recommended --sparse_layers value")
+    parser.add_argument("--probe_threshold", type=float, default=0.95,
+                        help="greedy-output agreement target for the probe")
     parser.add_argument("--pad_to", type=int, default=None,
                         help="left-pad prompts with RULER noise sentences "
                         "to the next multiple of N tokens (+BOS). Every "
@@ -73,6 +81,37 @@ def main(argv=None):
         )
         datasets.append(ds)
         max_gen = max(max_gen, ds.gen_len)
+
+    if args.probe_sparse_layers:
+        # Automated sparse-layer probe (VERDICT r4 #9): recommend the
+        # per-layer sparse/dense mix instead of evaluating.
+        from xkv_tpu.cli.common import build_xkv_config
+        from xkv_tpu.evalharness.sparse_probe import probe_sparse_layers
+
+        if not args.sparse_topk:
+            raise SystemExit("--probe_sparse_layers needs --sparse_topk")
+        xkv = build_xkv_config(args, cfg.num_layers)
+        n = args.num_samples if args.num_samples > 0 else 4
+        ds = datasets[0]
+        prompts = [ds[i][0] for i in range(min(n, len(ds)))]
+        rep = probe_sparse_layers(
+            params, cfg, xkv, prompts,
+            sparse_topk=args.sparse_topk, sparse_block=args.sparse_block,
+            gen_len=min(datasets[0].gen_len, 16),
+            threshold=args.probe_threshold,
+        )
+        rec = rep["recommended_sparse_layers"]
+        print(json.dumps({
+            "recommended_sparse_layers": rec,
+            "flag": "--sparse_layers " + ",".join(str(x) for x in rec),
+            "agreement_all_sparse": round(rep["agreement_all_sparse"], 4),
+            "agreement_final": round(rep["agreement_final"], 4),
+            "per_layer_gain": {
+                str(k): round(v, 4)
+                for k, v in rep["per_layer_gain"].items()
+            },
+        }))
+        return
 
     engine = build_engine(args, params, cfg, tail_max=max_gen + 8)
 
