@@ -170,8 +170,9 @@ def measure_decode(eng, prompt, batch: int, steps: int,
 
 
 def step_cost(cfg, xkv, cache, params, batch: int, rope_mode: str = "post",
-              sparse_rows: int = 0):
-    """Roofline accounting for ONE batched decode step: (bytes_moved, flops).
+              sparse_rows: int = 0, sparse_layers=None):
+    """Roofline accounting for ONE batched decode step:
+    (bytes_moved, flops, flops_int8).
 
     Bytes: every cache leaf is streamed from HBM once per step per consumer
     — a group's ``*_us`` factor panels are read by each of the group's
@@ -191,6 +192,13 @@ def step_cost(cfg, xkv, cache, params, batch: int, rope_mode: str = "post",
     ``sparse_rows``: with Quest top-k selection, only ~sparse_rows of the
     S factored rows stream per step per layer (us panels and attention
     FLOPs scale down; vt bases and the Quest bounds still read in full).
+    ``sparse_layers``: per-layer sparse/dense mix — only the listed layer
+    indices take the sparse_rows reduction; the rest stream/attend in full
+    (the accuracy-correct configuration, docs/RULER_OFFLINE.md).
+    ``flops_int8``: the subset of ``flops`` running on the MXU's 2x-rate
+    int8 path (the pre-RoPE us@vt reconstruction GEMM with int8 factors) —
+    callers use it for a dtype-correct MFU denominator (VERDICT r4 #4:
+    counting it at the bf16 peak reported mfu_pre = 1.21 > 1).
     """
     def nbytes(a):
         if a is None:
@@ -210,44 +218,57 @@ def step_cost(cfg, xkv, cache, params, batch: int, rope_mode: str = "post",
         n_mat += p_embed  # tied unembed still does the (hidden, vocab) GEMM
     flops = 2.0 * batch * n_mat
 
+    flops_i8 = 0.0
     groups = list(getattr(cache, "groups", ()) or ())
-    grp_sizes = [len(g.layers) for g in xkv.layer_groups] if xkv else []
+    grp_layers = [list(g.layers) for g in xkv.layer_groups] if xkv else []
     hq = cfg.num_q_heads
     hd = cfg.head_dim
     m_layer = cfg.num_kv_heads * hd
-    for gf, g in zip(groups, grp_sizes):
+    for gf, g_lyrs in zip(groups, grp_layers):
+        g = len(g_lyrs)
         S = gf.k_us.shape[1] if gf.k_us is not None else (
             gf.v_us.shape[1] if gf.v_us is not None else 0)
         frac = min(1.0, sparse_rows / S) if sparse_rows and S else 1.0
-        S_eff = frac * S
-        # us panels re-read per layer of the group (selected rows only in
-        # sparse mode); vt/scale/bounds once per group
+        # per-layer sparse/dense mix: layers outside sparse_layers read in
+        # full (frac 1.0) even when sparse_rows is set
+        if sparse_rows and sparse_layers is not None:
+            n_sp = sum(1 for l in g_lyrs if l in sparse_layers)
+        else:
+            n_sp = g if sparse_rows else 0
+        # effective us-panel re-reads across the group's layers
+        eff_reads = n_sp * frac + (g - n_sp) * 1.0
         for name in ("k_us", "v_us", "k_us4", "v_us4"):
-            bytes_moved += g * frac * nbytes(getattr(gf, name, None))
+            bytes_moved += eff_reads * nbytes(getattr(gf, name, None))
         for name in ("k_vt", "v_vt", "k_vt4", "k_scale", "v_scale",
                      "k_scale4", "k_rnorm", "k_cmin", "k_cmax",
                      "slerp_k", "slerp_v"):
             bytes_moved += nbytes(getattr(gf, name, None))
         r_k = gf.k_us.shape[-1] if gf.k_us is not None else 0
+        int8_k = gf.k_us is not None and gf.k_us.dtype == jnp.int8
         if gf.k_us4 is not None:
             r_k += 2 * gf.k_us4.shape[-1]
         r_v = gf.v_us.shape[-1] if gf.v_us is not None else 0
         if gf.v_us4 is not None:
             r_v += 2 * gf.v_us4.shape[-1]
+        # attention rows per layer: sparse layers see S*frac, exact see S
+        S_rows = n_sp * (frac * S) + (g - n_sp) * S
         if rope_mode == "pre":
             # reconstruction kernel: K recon GEMM + 2-field score GEMM +
             # rank-space value path (module docstring of
             # ops/pallas/lowrank_attention.py)
-            flops += g * 2.0 * batch * (
-                S_eff * r_k * m_layer          # us @ vt reconstruction
-                + hq * S_eff * 2 * m_layer     # [qa|qb] @ [K*cos|K*sin]
-                + hq * S_eff * r_v             # P @ v_us
-                + hd * (r_k + r_v)             # query embeds / projection
+            recon = 2.0 * batch * S_rows * r_k * m_layer
+            flops += (
+                recon                                # us @ vt reconstruction
+                + 2.0 * batch * hq * S_rows * 2 * m_layer  # [qa|qb] @ trig
+                + 2.0 * batch * hq * S_rows * r_v    # P @ v_us
+                + g * 2.0 * batch * hd * (r_k + r_v)  # query embeds / proj
             )
+            if int8_k:
+                flops_i8 += recon  # int8 x int8 -> int32 MXU path (2x rate)
         else:
             # rank-space decode: q fold (hd*r) + scores/values over S rows
-            flops += g * 2.0 * batch * hq * (
-                S_eff * (r_k + r_v) + hd * (r_k + r_v)
+            flops += 2.0 * batch * hq * (
+                S_rows * (r_k + r_v) + g * hd * (r_k + r_v)
             )
     for seg in (getattr(cache, "dense_k", {}) or {},
                 getattr(cache, "dense_v", {}) or {}):
@@ -259,7 +280,7 @@ def step_cost(cfg, xkv, cache, params, batch: int, rope_mode: str = "post",
     for t in (cache.tail_k, cache.tail_v):
         bytes_moved += nbytes(t)
         flops += 2.0 * batch * hq * t.shape[-2] * cfg.head_dim * cfg.num_layers
-    return bytes_moved, flops
+    return bytes_moved, flops, flops_i8
 
 
 # Nominal single-chip peaks for the roofline fields (TPU v5e: 819 GB/s HBM,
@@ -369,6 +390,9 @@ def main():
     ap.add_argument("--no-depth-sweep", action="store_true",
                     help="skip the supplementary depth-scaling sweep "
                     "(4/16-layer points) in the default headline run")
+    ap.add_argument("--no-mla-extra", action="store_true",
+                    help="skip the supplementary MLA (DeepSeek-V2) serving "
+                    "measurement in the default headline run")
     ap.add_argument("--peak-hbm-gbps", type=float, default=PEAK_HBM_GBPS,
                     help="nominal HBM bandwidth for the hbm_util field")
     ap.add_argument("--peak-tflops", type=float, default=PEAK_TFLOPS,
@@ -497,15 +521,25 @@ def main():
     # actual cache + params pytrees -> HBM utilization and MFU at the
     # measured step rate. steps/s = tokens/s / batch. Suppressed in --quick
     # (tiny-shape timings are dispatch-noise-dominated on this tunnel).
-    for tag, cost, tps, b in () if args.quick else (
-            ("fact", cost_fact, tps_fact, b_fact),
-            ("dense", cost_none, tps_none, b_dense)):
+    def roofline_fields(tag, cost, tps, b):
+        """Per-mode roofline (VERDICT r3 #8). MFU uses a dtype-correct
+        denominator: FLOPs on the int8 MXU path (cost[2]) count at HALF
+        the bf16-peak time (v5e: 394 vs 197 TOP/s), so mfu is a true <=1
+        fraction of the compute roofline (VERDICT r4 #4 — the old
+        bf16-only peak reported mfu_pre = 1.21)."""
         steps_per_s = tps / b
+        bytes_m, flops = cost[0], cost[1]
+        f_i8 = cost[2] if len(cost) > 2 else 0.0
         record[f"hbm_util_{tag}"] = round(
-            cost[0] * steps_per_s / (args.peak_hbm_gbps * 1e9), 3)
+            bytes_m * steps_per_s / (args.peak_hbm_gbps * 1e9), 3)
+        roofline_time_flops = (flops - f_i8) + f_i8 / 2.0
         record[f"mfu_{tag}"] = round(
-            cost[1] * steps_per_s / (args.peak_tflops * 1e12), 3)
+            roofline_time_flops * steps_per_s / (args.peak_tflops * 1e12), 3)
         record[f"step_gb_{tag}"] = round(cost[0] / 1e9, 3)
+
+    if not args.quick:
+        roofline_fields("fact", cost_fact, tps_fact, b_fact)
+        roofline_fields("dense", cost_none, tps_none, b_dense)
     record["peak_hbm_gbps"] = args.peak_hbm_gbps
     record["peak_tflops"] = args.peak_tflops
     if prefill_fact_s is not None:
@@ -529,16 +563,8 @@ def main():
         record["verify_mt_positions_per_s"] = round(tps_verify, 2)
         record["verify_mt_vs_baseline"] = round(tps_verify / tps_none, 3)
         record["verify_ql"] = args.verify_ql
-    def roofline_fields(tag, cost, tps, b):
-        """Per-mode roofline anchoring (VERDICT r3 #8): analytic bytes /
-        FLOPs at the measured step rate."""
-        steps_per_s = tps / b
-        record[f"hbm_util_{tag}"] = round(
-            cost[0] * steps_per_s / (args.peak_hbm_gbps * 1e9), 3)
-        record[f"mfu_{tag}"] = round(
-            cost[1] * steps_per_s / (args.peak_tflops * 1e12), 3)
-        record[f"step_gb_{tag}"] = round(cost[0] / 1e9, 3)
-
+        # exact attention — greedy output is bit-identical to plain decode
+        record["verify_mt_accuracy_gated"] = False
     # Supplementary: opt-in approximate sparse top-k decode at the same
     # batch (headline value/vs_baseline stay EXACT factored attention).
     sp_k = args.sparse or 8
@@ -558,8 +584,51 @@ def main():
                                 prepped=prepped_sp)
         record["sparse_topk_tokens_per_s"] = round(tps_sp, 2)
         record["sparse_topk_vs_baseline"] = round(tps_sp / tps_none, 3)
+        # ALL-layers sparse selection is known to lose retrieval accuracy
+        # at layers whose Quest bounds are uninformative (measured on the
+        # offline RULER suite, docs/RULER_OFFLINE.md:113-146) — this mode
+        # needs per-deployment gating; the accuracy-correct configuration
+        # is sparse_mixed below (VERDICT r4 #2).
+        record["sparse_topk_accuracy_gated"] = True
         roofline_fields("sparse", cost_sp, tps_sp, b_fact)
         del eng_sp, prepped_sp
+        # Supplementary: the ACCURACY-CORRECT sparse configuration —
+        # per-layer sparse/dense mixing (`sparse_layers`) at sparse_topk=4.
+        # The RULER study's fix: the retrieval layer reads the factored
+        # cache EXACTLY while the rest stay sparse, restoring single-needle
+        # retrieval to baseline. Here the deepest layer of each SVD group
+        # reads exactly (the study's retrieval layer was its model's
+        # deepest); probe per deployment with
+        # `python -m xkv_tpu.cli.eval_acc --probe_sparse_layers`.
+        mixed_k = 4
+        mixed_layers = frozenset(
+            l for l in range(cfg.num_layers) if (l + 1) % 4 != 0
+        )
+        eng_mx = InferenceEngine(
+            params, cfg, xkv=xkv, mode="factored", tail_max=tail,
+            attention_impl=attention_impl, donate_cache=False,
+            factor_dtype=factor_dtype, prefill_logits="last",
+            sparse_topk=mixed_k, sparse_block=args.sparse_block,
+            sparse_layers=mixed_layers,
+        )
+        prepped_mx = prep_cache(eng_mx, prompt, b_fact)
+        cost_mx = step_cost(
+            cfg, xkv, prepped_mx[0], params, b_fact,
+            rope_mode=args.rope_mode,
+            sparse_rows=mixed_k * args.sparse_block,
+            sparse_layers=mixed_layers,
+        )
+        tps_mx = measure_decode(eng_mx, prompt, b_fact, steps,
+                                prepped=prepped_mx)
+        record["sparse_mixed_tokens_per_s"] = round(tps_mx, 2)
+        record["sparse_mixed_vs_baseline"] = round(tps_mx / tps_none, 3)
+        record["sparse_mixed_topk"] = mixed_k
+        record["sparse_mixed_exact_layers"] = sorted(
+            set(range(cfg.num_layers)) - mixed_layers
+        )
+        record["sparse_mixed_accuracy_gated"] = False
+        roofline_fields("sparse_mixed", cost_mx, tps_mx, b_fact)
+        del eng_mx, prepped_mx
     # Supplementary: mixed int8+int4 packed factors at the same batch
     # (docs/ROPE_MODES.md — accuracy-neutral at the operating compression
     # on the offline gate; ~26x total KV compression).
@@ -576,6 +645,9 @@ def main():
                                 prepped=prepped_i4)
         record["int4_tokens_per_s"] = round(tps_i4, 2)
         record["int4_vs_baseline"] = round(tps_i4 / tps_none, 3)
+        # accuracy-neutral at the operating compression on the offline
+        # induction gate (docs/ROPE_MODES.md) — not approximate attention
+        record["int4_accuracy_gated"] = False
         roofline_fields("int4", cost_i4, tps_i4, b_fact)
         del eng_i4, prepped_i4
     # Supplementary: the reference-semantics pre-RoPE scheme at the same
@@ -602,6 +674,7 @@ def main():
                                  prepped=prepped_pre)
         record["rope_pre_tokens_per_s"] = round(tps_pre, 2)
         record["rope_pre_vs_baseline"] = round(tps_pre / tps_none, 3)
+        record["rope_pre_accuracy_gated"] = False  # exact attention
         roofline_fields("pre", cost_pre, tps_pre, b_fact)
         if want_verify:
             # Exact multi-token verify in PRE mode: ql query rows share one
@@ -632,6 +705,8 @@ def main():
                                  prepped=prepped_psp)
         record["rope_pre_sparse_tokens_per_s"] = round(tps_psp, 2)
         record["rope_pre_sparse_vs_baseline"] = round(tps_psp / tps_none, 3)
+        # all-layers sparse selection: same accuracy caveat as sparse_topk
+        record["rope_pre_sparse_accuracy_gated"] = True
         roofline_fields("pre_sparse", cost_psp, tps_psp, b_fact)
         del eng_pre_sp, prepped_psp
     # Supplementary: the accuracy-parity serving point — post at rank
@@ -662,8 +737,43 @@ def main():
         record["rank768_tokens_per_s"] = round(tps_hi, 2)
         record["rank768_batch"] = b_hi
         record["rank768_vs_baseline"] = round(tps_hi / tps_none, 3)
+        record["rank768_accuracy_gated"] = False
         roofline_fields("rank768", cost_hi, tps_hi, b_hi)
         del eng_hi, prepped_hi
+    # Supplementary: MLA (DeepSeek-V2) serving in the DEFAULT record
+    # (VERDICT r4 #5) — factored-latent decode (merge_k only, reference
+    # deepseek_v2.py:222-223) vs the dense-latent baseline at the same
+    # depth/ctx, so BOTH model families carry driver-verified serving
+    # numbers. Compact version of the `--mla` flow at the depth-8 geometry.
+    if not (args.quick or args.matched or args.only or args.mla
+            or args.no_mla_extra):
+        mcfg, mxkv, mparams, mprompt = build("mla", ctx, args.layers, tail)
+        mla_impl = ("pallas" if jax.default_backend() == "tpu" else "xla")
+        b_mf = max(8, 96 * 32768 // ctx)
+        b_md = max(1, 32 * 32768 // ctx)
+        eng_mf = InferenceEngine(
+            mparams, mcfg, xkv=mxkv, mode="factored", tail_max=tail,
+            attention_impl=mla_impl, donate_cache=False,
+            factor_dtype=factor_dtype, prefill_logits="last",
+        )
+        prepped_mf = prep_cache(eng_mf, mprompt, b_mf)
+        cost_mf = step_cost(mcfg, mxkv, prepped_mf[0], mparams, b_mf)
+        tps_mf = measure_decode(eng_mf, mprompt, b_mf, steps,
+                                prepped=prepped_mf)
+        del eng_mf, prepped_mf
+        eng_md = InferenceEngine(
+            mparams, mcfg, mode="none", tail_max=tail,
+            attention_impl=mla_impl, donate_cache=False,
+            prefill_logits="last",
+        )
+        tps_md = measure_decode(eng_md, mprompt, b_md, steps)
+        del eng_md, mparams, mprompt
+        record["mla_tokens_per_s"] = round(tps_mf, 2)
+        record["mla_dense_latent_tokens_per_s"] = round(tps_md, 2)
+        record["mla_vs_baseline"] = round(tps_mf / tps_md, 3)
+        record["mla_batch_vs_dense"] = [b_mf, b_md]
+        record["mla_accuracy_gated"] = False
+        roofline_fields("mla", cost_mf, tps_mf, b_mf)
     # Supplementary: depth-scaling sweep (VERDICT r3 #3) — validates that
     # the 8-layer headline extrapolates with depth. The dense baseline's
     # max batch shrinks super-linearly with depth (weights + 2.1 GB/seq
@@ -682,10 +792,14 @@ def main():
         # free the main-measurement objects first: the sweep's 16-layer
         # weights (7.8 GB bf16) plus leftovers OOM'd the first r4 run
         del eng_none, params, prompt
-        # Depths past 8 document the ceiling: at 64K both modes fail on
-        # one chip (dense runtime-OOMs at batch 1 from 12 layers; the
-        # factored prefill graph exceeds the compile budget) — recorded
-        # as error_* fields, which is itself the capacity story.
+        # Depths past 8 are where the capacity story becomes a measurement
+        # (VERDICT r4 #3): the monolithic factored prefill graph holds
+        # EVERY layer's dense K/V until build_cache consumes it (10.6 GB
+        # of HLO temps at 12 layers / 64K — compile-time HBM OOM), so
+        # deep points run the STAGED per-group prefill (engine
+        # staged_prefill=True: compress each group as its layers complete,
+        # peak K/V = one group). The dense baseline still runtime-OOMs —
+        # error_dense alongside a live factored tokens/s IS the story.
         for L in (4, 12, 16):
             if L == args.layers:
                 continue
@@ -699,33 +813,44 @@ def main():
             b_d = max(1, int((12.0 - w_gb) / dense_seq))
             b_f = max(8, min(96, int((12.0 - w_gb) / fact_seq)))
             point = {"layers": L, "batch_fact": b_f, "batch_dense": b_d}
+            # ADVICE r4: reset per-iteration so a build() failure can never
+            # leak the PREVIOUS depth's cfg/params into this point's dense
+            # measurement (mislabelled throughput / masked real error).
+            cfg_L = params_L = prompt_L = None
             try:  # each mode separately: at L=16 the dense baseline may
                 # simply not fit 64K on the chip — that asymmetry IS the
                 # serving story, so record whichever side runs.
                 cfg_L, xkv_L, params_L, prompt_L = build(
                     kind, ctx, L, tail, rope_mode=args.rope_mode)
-                e_f = InferenceEngine(
-                    params_L, cfg_L, xkv=xkv_L, mode="factored",
-                    tail_max=tail,
-                    attention_impl=attention_impl, donate_cache=False,
-                    factor_dtype=factor_dtype, prefill_logits="last",
-                )
-                point["tokens_per_s"] = round(
-                    measure_decode(e_f, prompt_L, b_f, steps), 2)
-                del e_f
             except Exception as e:
-                point["error_fact"] = type(e).__name__
-            try:
-                e_d = InferenceEngine(
-                    params_L, cfg_L, mode="none", tail_max=tail,
-                    attention_impl=attention_impl, donate_cache=False,
-                    prefill_logits="last",
-                )
-                point["dense_tokens_per_s"] = round(
-                    measure_decode(e_d, prompt_L, b_d, steps), 2)
-                del e_d, params_L
-            except Exception as e:
-                point["error_dense"] = type(e).__name__
+                point["error_build"] = type(e).__name__
+            if params_L is not None:
+                try:
+                    e_f = InferenceEngine(
+                        params_L, cfg_L, xkv=xkv_L, mode="factored",
+                        tail_max=tail,
+                        attention_impl=attention_impl, donate_cache=False,
+                        factor_dtype=factor_dtype, prefill_logits="last",
+                        staged_prefill=(L > 8),
+                    )
+                    point["staged_prefill"] = L > 8
+                    point["tokens_per_s"] = round(
+                        measure_decode(e_f, prompt_L, b_f, steps), 2)
+                    del e_f
+                except Exception as e:
+                    point["error_fact"] = type(e).__name__
+                try:
+                    e_d = InferenceEngine(
+                        params_L, cfg_L, mode="none", tail_max=tail,
+                        attention_impl=attention_impl, donate_cache=False,
+                        prefill_logits="last",
+                    )
+                    point["dense_tokens_per_s"] = round(
+                        measure_decode(e_d, prompt_L, b_d, steps), 2)
+                    del e_d
+                except Exception as e:
+                    point["error_dense"] = type(e).__name__
+                del params_L
             if "tokens_per_s" in point and "dense_tokens_per_s" in point:
                 point["vs_baseline"] = round(
                     point["tokens_per_s"] / point["dense_tokens_per_s"], 3)

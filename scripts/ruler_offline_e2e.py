@@ -75,6 +75,17 @@ CONFIGS = {
                                     "--sparse_topk", "4",
                                     "--sparse_block", "512",
                                     "--sparse_layers", "0,1,2"],
+    # mixed at double budget — resolves the multi-answer (multiquery /
+    # multivalue) budget limitation beyond one-sample noise (VERDICT r4
+    # #7: n>=24 at 8K)
+    "xkv4_post_sparse_mixed8_int8": ["--xKV", "--mode", "factored",
+                                     "--rope_mode", "post",
+                                     "--layer_group_size", "4",
+                                     "--rank_k", "512", "--rank_v", "768",
+                                     "--factor_dtype", "int8",
+                                     "--sparse_topk", "8",
+                                     "--sparse_block", "512",
+                                     "--sparse_layers", "0,1,2"],
 }
 
 
