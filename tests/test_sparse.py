@@ -444,3 +444,65 @@ def test_probe_sparse_layers_mechanics(params):
     assert rep2["agreement_final"] >= rep2["agreement_all_sparse"] - 1e-9
     if rep2["agreement_all_sparse"] < 1.0:
         assert len(rep2["per_layer_gain"]) == CFG.num_layers
+
+
+# ------------------------------------------------------- adaptive budget
+def test_adaptive_hot_chunks_counts():
+    """One dominant chunk -> hot count 1; many near-max chunks -> large
+    hot count (the multi-answer signature driving sparse_topk_max)."""
+    from xkv_tpu.ops.attention import adaptive_hot_chunks
+
+    live = jnp.ones((1, 8), bool)
+    single = jnp.asarray([[10.0, 1, 1, 1, 1, 1, 1, 1]], jnp.float32)
+    assert int(adaptive_hot_chunks(single, live)[0]) == 1
+    multi = jnp.asarray([[10.0, 9.9, 9.8, 9.9, 1, 1, 1, 1]], jnp.float32)
+    assert int(adaptive_hot_chunks(multi, live)[0]) == 4
+    # dead chunks are excluded
+    live2 = jnp.asarray([[True] * 4 + [False] * 4])
+    multi2 = jnp.asarray([[10.0, 9.9, 1, 1, 99, 99, 99, 99]], jnp.float32)
+    assert int(adaptive_hot_chunks(multi2, live2)[0]) == 2
+
+
+def test_adaptive_budget_step_matches_one_branch(params):
+    """A decode step with sparse_topk_max must produce logits identical to
+    EITHER the low-budget or the high-budget static engine (lax.cond picks
+    one of exactly those two computations)."""
+    xkv = xkv_cfg()
+    prompt = np.random.default_rng(21).integers(
+        0, CFG.vocab_size, size=(2, 64)).astype(np.int32)
+
+    def step_logits(**kw):
+        eng = make_engine(params, xkv=xkv, mode="factored",
+                          sparse_block=8, **kw)
+        lg, cache = eng.prefill(prompt)
+        tok = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        out, _ = eng.decode_step(cache, tok, jnp.asarray(64, jnp.int32))
+        return np.asarray(out)
+
+    lo = step_logits(sparse_topk=3)
+    hi = step_logits(sparse_topk=6)
+    ad = step_logits(sparse_topk=3, sparse_topk_max=6)
+    match_lo = np.allclose(ad, lo, rtol=1e-5, atol=1e-5)
+    match_hi = np.allclose(ad, hi, rtol=1e-5, atol=1e-5)
+    assert match_lo or match_hi
+
+
+def test_adaptive_budget_validation(params):
+    with pytest.raises(ValueError, match="requires sparse_topk"):
+        make_engine(params, xkv=xkv_cfg(), mode="factored",
+                    sparse_topk_max=8)
+    with pytest.raises(ValueError, match="must exceed"):
+        make_engine(params, xkv=xkv_cfg(), mode="factored",
+                    sparse_topk=4, sparse_topk_max=4)
+
+
+def test_adaptive_budget_full_coverage_exact(params):
+    """When the high budget covers every chunk AND the trigger fires, the
+    adaptive step equals exact decode; in all cases generation runs."""
+    xkv = xkv_cfg()
+    prompt = np.random.default_rng(22).integers(
+        0, CFG.vocab_size, size=(1, 64)).astype(np.int32)
+    eng = make_engine(params, xkv=xkv, mode="factored",
+                      sparse_topk=2, sparse_topk_max=8, sparse_block=8)
+    out = np.asarray(eng.generate(prompt, max_new_tokens=4))
+    assert out.shape == (1, 4) and np.isfinite(out).all()

@@ -80,6 +80,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="comma list of layer indices to decode "
                         "sparsely (others stay exact) — per-layer mixing "
                         "for layers whose Quest bounds are uninformative")
+    parser.add_argument("--sparse_topk_max", type=int, default=None,
+                        help="adaptive sparse budget ceiling: steps whose "
+                        "Quest bounds show many near-max chunks (the "
+                        "multi-answer signature) spend this budget instead "
+                        "of --sparse_topk")
     parser.add_argument("--slerp_compact", action="store_true",
                         help="compact MiniCache storage (direction + norms "
                         "+ exception rows) for slerp groups")
@@ -192,6 +197,8 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
         if getattr(args, "sparse_layers", None):
             kw.setdefault("sparse_layers", frozenset(
                 int(x) for x in args.sparse_layers.split(",")))
+        if getattr(args, "sparse_topk_max", None):
+            kw.setdefault("sparse_topk_max", args.sparse_topk_max)
     if getattr(args, "draft_rank", None) and mode == "factored":
         kw.setdefault("draft_rank", args.draft_rank)
     return InferenceEngine(

@@ -44,6 +44,7 @@ class InferenceEngine:
         sparse_topk: Optional[int] = None,
         sparse_block: int = 512,
         sparse_layers=None,
+        sparse_topk_max: Optional[int] = None,
         draft_rank: Optional[int] = None,
         sequence_parallel: bool = False,
         staged_prefill: bool = False,
@@ -90,10 +91,27 @@ class InferenceEngine:
         self.sparse_layers = (
             None if sparse_layers is None else frozenset(sparse_layers)
         )
+        # Adaptive budget (VERDICT r4 #10): per decode step, spend
+        # sparse_topk_max chunks instead of sparse_topk when the Quest
+        # bound statistics show many near-max ("hot") chunks — the
+        # multi-answer signature. Single-device llama-family only (the TP
+        # sparse path keeps a static per-shard budget).
+        if sparse_topk_max is not None:
+            if sparse_topk is None:
+                raise ValueError("sparse_topk_max requires sparse_topk")
+            if sparse_topk_max <= sparse_topk:
+                raise ValueError("sparse_topk_max must exceed sparse_topk")
+            if mesh is not None:
+                raise ValueError(
+                    "sparse_topk_max is single-device (TP sparse selection "
+                    "is per-shard with a static budget)"
+                )
+        self.sparse_topk_max = sparse_topk_max
         self._sparse_kw = (
             {} if sparse_topk is None
             else {"sparse_select": sparse_topk, "sparse_block": sparse_block,
-                  "sparse_layers": self.sparse_layers}
+                  "sparse_layers": self.sparse_layers,
+                  "sparse_select_max": sparse_topk_max}
         )
         # Rank-truncated drafts for speculative decoding (MLA: the absorbed
         # decode has no sparse chunk path, but the SVD-ordered latent

@@ -358,6 +358,7 @@ def _post_rope_factored_part(
     mesh,
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill lengths
     win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
+    sparse_select_max: Optional[int] = None,  # adaptive budget ceiling
 ) -> PartialAttention:
     """Attention over a POST-RoPE factored group (rope_mode="post").
 
@@ -440,31 +441,59 @@ def _post_rope_factored_part(
                 n_select=n_sel, scale=scale, num_kv_heads=hkv, block=blk,
             )
             return PartialAttention(out=out, lse=lse)
-        ids = select_topk_chunks(
-            q, cmin_sl, cmax_sl, n_select=n_sel, num_kv_heads=hkv,
+
+        from xkv_tpu.ops.attention import (
+            adaptive_hot_chunks,
+            chunk_bound_scores,
+        )
+
+        sc, live, sc_raw = chunk_bound_scores(
+            q, cmin_sl, cmax_sl, hkv,
             valid_len=lengths, block=blk, win_lo=win_lo,
         )
-        if attention_impl == "pallas" and pallas_ok and mesh is None:
-            from xkv_tpu.ops.pallas.rankspace_attention import (
-                sparse_rankspace_decode_attention,
+
+        def attend_with_budget(n: int) -> PartialAttention:
+            _, ids = jax.lax.top_k(sc, n)
+            ids = ids.astype(jnp.int32)
+            if attention_impl == "pallas" and pallas_ok and mesh is None:
+                from xkv_tpu.ops.pallas.rankspace_attention import (
+                    sparse_rankspace_decode_attention,
+                )
+
+                out, lse = sparse_rankspace_decode_attention(
+                    q, gf.k_us, vt_k, gf.v_us, vt_v, ids,
+                    lengths=lengths,
+                    k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
+                    win_lo=win_lo,
+                    scale=scale, num_kv_heads=hkv, block=blk,
+                )
+                return PartialAttention(out=out, lse=lse)
+            # XLA fallback: gather selected chunks, reconstruct only those
+            # rows (already rotated — pre_rotated skips the re-rope).
+            cos_d = jnp.zeros((gf.k_us.shape[1], hd), jnp.float32)
+            return sparse_factored_decode_attention_xla(
+                q, gf.k_us, vt_k, gf.v_us, vt_v, cos_d, cos_d, ids, scale,
+                hkv, block=blk, k_scale_slice=k_scale_slice,
+                v_rank_scale=gf.v_scale,
+                valid_len=lengths, pre_rotated=True, valid_lo=win_lo,
             )
 
-            out, lse = sparse_rankspace_decode_attention(
-                q, gf.k_us, vt_k, gf.v_us, vt_v, ids,
-                lengths=lengths,
-                k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
-                win_lo=win_lo,
-                scale=scale, num_kv_heads=hkv, block=blk,
+        n_hi = min(sparse_select_max, nc) if sparse_select_max else n_sel
+        if n_hi > n_sel:
+            # Adaptive budget (VERDICT r4 #10): multi-answer steps put MANY
+            # chunks near the max Quest bound (several needles competing
+            # for the budget); single-needle steps have one dominant chunk.
+            # Spend the high budget only when the hot-chunk count exceeds
+            # the low budget — both budgets compile once (lax.cond), the
+            # step's bound statistics pick per decode step.
+            hot = adaptive_hot_chunks(sc_raw, live)
+            use_hi = jnp.any(hot > n_sel)
+            return jax.lax.cond(
+                use_hi,
+                lambda: attend_with_budget(n_hi),
+                lambda: attend_with_budget(n_sel),
             )
-            return PartialAttention(out=out, lse=lse)
-        # XLA fallback: gather selected chunks, reconstruct only those rows
-        # (already rotated — pre_rotated skips the re-rope).
-        cos_d = jnp.zeros((gf.k_us.shape[1], hd), jnp.float32)
-        return sparse_factored_decode_attention_xla(
-            q, gf.k_us, vt_k, gf.v_us, vt_v, cos_d, cos_d, ids, scale, hkv,
-            block=blk, k_scale_slice=k_scale_slice, v_rank_scale=gf.v_scale,
-            valid_len=lengths, pre_rotated=True, valid_lo=win_lo,
-        )
+        return attend_with_budget(n_sel)
 
     if attention_impl == "pallas" and pallas_ok and tp_ok:
         from xkv_tpu.ops.pallas.rankspace_attention import (
@@ -510,6 +539,7 @@ def decode_step(
     sparse_select: Optional[int] = None,
     sparse_block: int = 512,
     sparse_layers: Optional[frozenset] = None,
+    sparse_select_max: Optional[int] = None,
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step with the hybrid factored cache.
 
@@ -612,6 +642,7 @@ def decode_step(
                         sparse_ok, sparse_select, sparse_block,
                         attention_impl, pallas_ok, tp_ok, mesh,
                         win_lo=win_lo,
+                        sparse_select_max=sparse_select_max,
                     )
                 )
             elif sparse_ok:

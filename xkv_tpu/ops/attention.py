@@ -13,7 +13,7 @@ pre-RoPE-merge convention (`xKV/attn_patch/llama.py:38-53`).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -350,6 +350,30 @@ def select_topk_chunks(
     kernels additionally column-mask partial chunks).
     Returns ids (b, n_select) int32.
     """
+    sc, _, _ = chunk_bound_scores(
+        q, k_cmin, k_cmax, num_kv_heads,
+        valid_len=valid_len, block=block, win_lo=win_lo,
+    )
+    _, ids = jax.lax.top_k(sc, n_select)
+    return ids.astype(jnp.int32)
+
+
+def chunk_bound_scores(
+    q: jax.Array,
+    k_cmin: jax.Array,
+    k_cmax: jax.Array,
+    num_kv_heads: int,
+    valid_len: Optional[jax.Array] = None,
+    block: int = 512,
+    win_lo: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Quest upper-bound scores per chunk (the body of
+    ``select_topk_chunks``, exposed for adaptive budgeting).
+
+    Returns (sc (b, nc) — selection scores with the sink/recency
+    force-include sentinels applied, live (b, nc) bool — chunks holding
+    any live rows, sc_raw (b, nc) — the plain bounds with dead chunks at
+    -inf and no sentinels)."""
     b, hq, ql, hd = q.shape
     nc = k_cmin.shape[1]
 
@@ -378,11 +402,31 @@ def select_topk_chunks(
         sc = jnp.where(cidx < first_live, -jnp.inf, sc)
     else:
         first_live = jnp.zeros((b, 1), jnp.int32)
+    live = jnp.isfinite(sc)
+    sc_raw = sc
     big = jnp.float32(3e38)
     sc = jnp.where(cidx == first_live, big, sc)  # sink / window start
     sc = jnp.where(cidx == last_valid, big, sc)  # recency boundary
-    _, ids = jax.lax.top_k(sc, n_select)
-    return ids.astype(jnp.int32)
+    return sc, live, sc_raw
+
+
+def adaptive_hot_chunks(sc_raw: jax.Array, live: jax.Array,
+                        band: float = 0.5) -> jax.Array:
+    """(b,) count of 'hot' chunks: live chunks whose Quest bound sits in
+    the top ``band`` fraction of the (max - mean) spread. Multi-answer
+    prompts put MANY chunks near the max bound (several needles compete
+    for the budget — docs/RULER_OFFLINE.md); a single-needle prompt has
+    one dominant chunk. Drives the adaptive sparse budget
+    (``sparse_topk_max``): spend the high budget only on steps whose hot
+    count exceeds the low budget."""
+    neg = jnp.float32(-3e38)
+    scm = jnp.where(live, sc_raw, neg)
+    sc_max = jnp.max(scm, axis=1)  # (b,)
+    cnt = jnp.maximum(jnp.sum(live, axis=1), 1)
+    mean = jnp.sum(jnp.where(live, sc_raw, 0.0), axis=1) / cnt
+    spread = jnp.maximum(sc_max - mean, 1e-6)
+    thr = sc_max - band * spread
+    return jnp.sum(live & (sc_raw >= thr[:, None]), axis=1)
 
 
 def sparse_factored_decode_attention_xla(
