@@ -80,6 +80,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="comma list of layer indices to decode "
                         "sparsely (others stay exact) — per-layer mixing "
                         "for layers whose Quest bounds are uninformative")
+    parser.add_argument("--sparse_adaptive_band", type=float, default=0.5,
+                        help="hot-chunk band for the adaptive budget "
+                        "trigger (larger fires more often)")
     parser.add_argument("--sparse_topk_max", type=int, default=None,
                         help="adaptive sparse budget ceiling: steps whose "
                         "Quest bounds show many near-max chunks (the "
@@ -199,6 +202,8 @@ def build_engine(args, params, cfg, tail_max: int, **kw):
                 int(x) for x in args.sparse_layers.split(",")))
         if getattr(args, "sparse_topk_max", None):
             kw.setdefault("sparse_topk_max", args.sparse_topk_max)
+            kw.setdefault("sparse_adaptive_band",
+                          getattr(args, "sparse_adaptive_band", 0.5))
     if getattr(args, "draft_rank", None) and mode == "factored":
         kw.setdefault("draft_rank", args.draft_rank)
     return InferenceEngine(

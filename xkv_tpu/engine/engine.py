@@ -45,6 +45,7 @@ class InferenceEngine:
         sparse_block: int = 512,
         sparse_layers=None,
         sparse_topk_max: Optional[int] = None,
+        sparse_adaptive_band: float = 0.5,
         draft_rank: Optional[int] = None,
         sequence_parallel: bool = False,
         staged_prefill: bool = False,
@@ -111,7 +112,8 @@ class InferenceEngine:
             {} if sparse_topk is None
             else {"sparse_select": sparse_topk, "sparse_block": sparse_block,
                   "sparse_layers": self.sparse_layers,
-                  "sparse_select_max": sparse_topk_max}
+                  "sparse_select_max": sparse_topk_max,
+                  "sparse_adaptive_band": sparse_adaptive_band}
         )
         # Rank-truncated drafts for speculative decoding (MLA: the absorbed
         # decode has no sparse chunk path, but the SVD-ordered latent

@@ -359,6 +359,7 @@ def _post_rope_factored_part(
     lengths: Optional[jax.Array] = None,  # (b,) valid prefill lengths
     win_lo: Optional[jax.Array] = None,  # (b,) sliding-window lower bound
     sparse_select_max: Optional[int] = None,  # adaptive budget ceiling
+    sparse_adaptive_band: float = 0.5,  # hot-chunk band (adaptive_hot_chunks)
 ) -> PartialAttention:
     """Attention over a POST-RoPE factored group (rope_mode="post").
 
@@ -486,7 +487,7 @@ def _post_rope_factored_part(
             # Spend the high budget only when the hot-chunk count exceeds
             # the low budget — both budgets compile once (lax.cond), the
             # step's bound statistics pick per decode step.
-            hot = adaptive_hot_chunks(sc_raw, live)
+            hot = adaptive_hot_chunks(sc_raw, live, band=sparse_adaptive_band)
             use_hi = jnp.any(hot > n_sel)
             return jax.lax.cond(
                 use_hi,
@@ -540,6 +541,7 @@ def decode_step(
     sparse_block: int = 512,
     sparse_layers: Optional[frozenset] = None,
     sparse_select_max: Optional[int] = None,
+    sparse_adaptive_band: float = 0.5,
 ) -> Tuple[jax.Array, XKVCache]:
     """One decode step with the hybrid factored cache.
 
@@ -643,6 +645,7 @@ def decode_step(
                         attention_impl, pallas_ok, tp_ok, mesh,
                         win_lo=win_lo,
                         sparse_select_max=sparse_select_max,
+                        sparse_adaptive_band=sparse_adaptive_band,
                     )
                 )
             elif sparse_ok:
