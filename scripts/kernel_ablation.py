@@ -314,6 +314,8 @@ def main():
         + [(f"-{st}", [x for x in ALL if x != st]) for st in ALL]
         + [("roll-rope", [x if x != "rope" else "rope_roll" for x in ALL])]
         + [("ropeq", [x if x != "rope" else "ropeq" for x in ALL])]
+        + [("ropeq2d", [x if x != "rope" else "ropeq" for x in ALL]
+            + ["tile2d"])]
     )
     if args.configs:
         want = args.configs.split(",")
