@@ -453,6 +453,67 @@ def main():
     if args.matched:
         b_fact = b_dense = args.batch or 1
 
+    # Supplementary: MLA (DeepSeek-V2) serving measured FIRST, on an
+    # empty chip (VERDICT r4 #5): the 64K MLA caches did not fit after
+    # ~10 llama modes' programs/buffers even with cache clearing (the
+    # remote allocator does not defragment) — running it before anything
+    # else allocates is the robust order. Fields merge into the record
+    # after the headline is measured.
+    mla_fields = {}
+    if not (args.quick or args.matched or args.only or args.mla
+            or args.no_mla_extra):
+        try:
+            mcfg, mxkv, mparams, mprompt = build(
+                "mla", ctx, args.layers, tail
+            )
+            mla_impl = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
+            b_mf = max(8, 96 * 32768 // ctx)
+            b_md = max(1, 32 * 32768 // ctx)
+            eng_mf = InferenceEngine(
+                mparams, mcfg, xkv=mxkv, mode="factored", tail_max=tail,
+                attention_impl=mla_impl, donate_cache=False,
+                factor_dtype=(args.factor_dtype if args.factor_dtype
+                              in ("int8", "int4") else jnp.bfloat16),
+                prefill_logits="last",
+            )
+            prepped_mf = prep_cache(eng_mf, mprompt, b_mf)
+            cost_mf = step_cost(mcfg, mxkv, prepped_mf[0], mparams, b_mf)
+            tps_mf = measure_decode(eng_mf, mprompt, b_mf, steps,
+                                    prepped=prepped_mf)
+            del eng_mf, prepped_mf
+            eng_md = InferenceEngine(
+                mparams, mcfg, mode="none", tail_max=tail,
+                attention_impl=mla_impl, donate_cache=False,
+                prefill_logits="last",
+            )
+            tps_md = measure_decode(eng_md, mprompt, b_md, steps)
+            del eng_md, mparams, mprompt
+            mla_fields["mla_tokens_per_s"] = round(tps_mf, 2)
+            mla_fields["mla_dense_latent_tokens_per_s"] = round(tps_md, 2)
+            mla_fields["mla_vs_baseline"] = round(tps_mf / tps_md, 3)
+            mla_fields["mla_batch_vs_dense"] = [b_mf, b_md]
+            mla_fields["mla_accuracy_gated"] = False
+            steps_per_s = tps_mf / b_mf
+            mla_fields["hbm_util_mla"] = round(
+                cost_mf[0] * steps_per_s / (args.peak_hbm_gbps * 1e9), 3)
+            f_i8 = cost_mf[2] if len(cost_mf) > 2 else 0.0
+            mla_fields["mfu_mla"] = round(
+                ((cost_mf[1] - f_i8) + f_i8 / 2.0) * steps_per_s
+                / (args.peak_tflops * 1e12), 3)
+            mla_fields["step_gb_mla"] = round(cost_mf[0] / 1e9, 3)
+        except Exception as e:
+            # never lose the headline record to a supplementary
+            mla_fields["mla_error"] = (
+                type(e).__name__ + ": " + str(e).splitlines()[0][:110]
+                if str(e) else type(e).__name__
+            )
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+
     cfg, xkv, params, prompt = build(kind, ctx, args.layers, tail,
                                      rope_mode=args.rope_mode)
 
@@ -740,40 +801,6 @@ def main():
         record["rank768_accuracy_gated"] = False
         roofline_fields("rank768", cost_hi, tps_hi, b_hi)
         del eng_hi, prepped_hi
-    # Supplementary: MLA (DeepSeek-V2) serving in the DEFAULT record
-    # (VERDICT r4 #5) — factored-latent decode (merge_k only, reference
-    # deepseek_v2.py:222-223) vs the dense-latent baseline at the same
-    # depth/ctx, so BOTH model families carry driver-verified serving
-    # numbers. Compact version of the `--mla` flow at the depth-8 geometry.
-    if not (args.quick or args.matched or args.only or args.mla
-            or args.no_mla_extra):
-        mcfg, mxkv, mparams, mprompt = build("mla", ctx, args.layers, tail)
-        mla_impl = ("pallas" if jax.default_backend() == "tpu" else "xla")
-        b_mf = max(8, 96 * 32768 // ctx)
-        b_md = max(1, 32 * 32768 // ctx)
-        eng_mf = InferenceEngine(
-            mparams, mcfg, xkv=mxkv, mode="factored", tail_max=tail,
-            attention_impl=mla_impl, donate_cache=False,
-            factor_dtype=factor_dtype, prefill_logits="last",
-        )
-        prepped_mf = prep_cache(eng_mf, mprompt, b_mf)
-        cost_mf = step_cost(mcfg, mxkv, prepped_mf[0], mparams, b_mf)
-        tps_mf = measure_decode(eng_mf, mprompt, b_mf, steps,
-                                prepped=prepped_mf)
-        del eng_mf, prepped_mf
-        eng_md = InferenceEngine(
-            mparams, mcfg, mode="none", tail_max=tail,
-            attention_impl=mla_impl, donate_cache=False,
-            prefill_logits="last",
-        )
-        tps_md = measure_decode(eng_md, mprompt, b_md, steps)
-        del eng_md, mparams, mprompt
-        record["mla_tokens_per_s"] = round(tps_mf, 2)
-        record["mla_dense_latent_tokens_per_s"] = round(tps_md, 2)
-        record["mla_vs_baseline"] = round(tps_mf / tps_md, 3)
-        record["mla_batch_vs_dense"] = [b_mf, b_md]
-        record["mla_accuracy_gated"] = False
-        roofline_fields("mla", cost_mf, tps_mf, b_mf)
     # Supplementary: depth-scaling sweep (VERDICT r3 #3) — validates that
     # the 8-layer headline extrapolates with depth. The dense baseline's
     # max batch shrinks super-linearly with depth (weights + 2.1 GB/seq
@@ -792,6 +819,15 @@ def main():
         # free the main-measurement objects first: the sweep's 16-layer
         # weights (7.8 GB bf16) plus leftovers OOM'd the first r4 run
         del eng_none, params, prompt
+        import gc
+
+        gc.collect()
+        # ALSO drop the global jit compilation caches: by this point the
+        # run has compiled ~10 modes x (prefill + 2 decode scans) and the
+        # executables' program memory lives on the chip — with the round-5
+        # sparse_mixed/MLA additions that tipped the sweep's batch-96
+        # 4-layer point into OOM (r5 full-run regression).
+        jax.clear_caches()
         # Depths past 8 are where the capacity story becomes a measurement
         # (VERDICT r4 #3): the monolithic factored prefill graph holds
         # EVERY layer's dense K/V until build_cache consumes it (10.6 GB
@@ -800,7 +836,9 @@ def main():
         # staged_prefill=True: compress each group as its layers complete,
         # peak K/V = one group). The dense baseline still runtime-OOMs —
         # error_dense alongside a live factored tokens/s IS the story.
-        for L in (4, 12, 16):
+        # deepest first: 16-layer weight init needs the largest
+        # contiguous block, so it gets the freshest allocator state
+        for L in (16, 12, 4):
             if L == args.layers:
                 continue
             # HBM-budget batch model (v5e, ~12 GB with headroom for
@@ -813,6 +851,12 @@ def main():
             b_d = max(1, int((12.0 - w_gb) / dense_seq))
             b_f = max(8, min(96, int((12.0 - w_gb) / fact_seq)))
             point = {"layers": L, "batch_fact": b_f, "batch_dense": b_d}
+            # Per-iteration cache flush: each depth compiles a fresh set of
+            # prefill/decode programs whose HBM accumulates across
+            # iterations (the 16-layer weight init OOM'd after the
+            # 12-layer iteration's programs piled up).
+            gc.collect()
+            jax.clear_caches()
             # ADVICE r4: reset per-iteration so a build() failure can never
             # leak the PREVIOUS depth's cfg/params into this point's dense
             # measurement (mislabelled throughput / masked real error).
@@ -823,7 +867,7 @@ def main():
                 cfg_L, xkv_L, params_L, prompt_L = build(
                     kind, ctx, L, tail, rope_mode=args.rope_mode)
             except Exception as e:
-                point["error_build"] = type(e).__name__
+                point["error_build"] = (type(e).__name__ + ": " + str(e).splitlines()[0][:110] if str(e) else type(e).__name__)
             if params_L is not None:
                 try:
                     e_f = InferenceEngine(
@@ -838,7 +882,7 @@ def main():
                         measure_decode(e_f, prompt_L, b_f, steps), 2)
                     del e_f
                 except Exception as e:
-                    point["error_fact"] = type(e).__name__
+                    point["error_fact"] = (type(e).__name__ + ": " + str(e).splitlines()[0][:110] if str(e) else type(e).__name__)
                 try:
                     e_d = InferenceEngine(
                         params_L, cfg_L, mode="none", tail_max=tail,
@@ -849,13 +893,19 @@ def main():
                         measure_decode(e_d, prompt_L, b_d, steps), 2)
                     del e_d
                 except Exception as e:
-                    point["error_dense"] = type(e).__name__
+                    point["error_dense"] = (type(e).__name__ + ": " + str(e).splitlines()[0][:110] if str(e) else type(e).__name__)
                 del params_L
             if "tokens_per_s" in point and "dense_tokens_per_s" in point:
                 point["vs_baseline"] = round(
                     point["tokens_per_s"] / point["dense_tokens_per_s"], 3)
             sweep.append(point)
+            # drop every per-iteration device reference — an except path
+            # above leaves e_f/e_d bound, and the LAST iteration's
+            # leftovers (16-layer weights + cache) otherwise survive into
+            # the MLA section and OOM the chip (seen in the r5 full run)
+            e_f = e_d = cfg_L = xkv_L = params_L = prompt_L = None
         record["depth_sweep"] = sorted(sweep, key=lambda p: p["layers"])
+    record.update(mla_fields)
     print(json.dumps(record))
 
 
